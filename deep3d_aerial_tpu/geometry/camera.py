@@ -229,6 +229,26 @@ def proj_matrix(K: np.ndarray, pose: Pose) -> np.ndarray:
     return P
 
 
+def relative_projections(P: np.ndarray) -> np.ndarray:
+    """[V, 4, 4] view projections -> [V-1, 4, 4] src-relative-to-ref transforms.
+
+    rel_v = P_v @ inv(P_0), computed HOST-SIDE in float64. This inverse must
+    never run in fp32 on device: cond(K[R|t]) ~ 1e4 for aerial focal lengths,
+    which costs ~0.1-1 px of warp accuracy (the reason the reference grew a
+    float64 warp variant, module.py:560).
+    """
+    P = np.asarray(P, dtype=np.float64)
+    ref_inv = np.linalg.inv(P[0])
+    return (P[1:] @ ref_inv).astype(np.float64)
+
+
+def stage_relative_projections(P: np.ndarray, num_stages: int = 3) -> np.ndarray:
+    """[V, 4, 4] full-res projections -> [S, V-1, 4, 4] per-stage rel projs."""
+    return np.stack(
+        [relative_projections(Ps) for Ps in stage_proj_pyramid(P, num_stages)]
+    )
+
+
 def scale_intrinsics(K: np.ndarray, scale: float) -> np.ndarray:
     K = np.asarray(K, dtype=np.float64).copy()
     K[0, :] *= scale

@@ -1,0 +1,123 @@
+"""AdaMVS — adaptive-aggregation cascade MVS (the pipeline's default model).
+
+Redesign of the reference (/root/reference/mvs/mvs_cas/models/adamvs.py):
+
+  * context-branch feature pyramid (FeatureNet 'branch', adamvs.py:50-153)
+  * stage 1: per-source-view product-correlation score volumes regularized by
+    a 2D hourglass (CostRegNet2D) -> per-view depth + confidence, which become
+    the fixed view weights for all later aggregation (adamvs.py:466-489)
+  * every stage: confidence-weighted correlation cost streamed one depth plane
+    at a time through a 2-level ConvGRU regularizer with online exp-weighted
+    soft-argmax (adamvs.py:492-529) — here a single `lax.scan`
+    (cascade.streaming_sweep) with a numerically-stable running max
+  * stages 1-2 emit depth at 2x their feature resolution (the regularizer's
+    transposed conv does the upsampling); stage 3 at full resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.depth_samplers import (
+    resize_bilinear,
+    uniform_depth_samples,
+    window_depth_samples,
+)
+from ..ops.warp import plane_sweep_warp
+from .cascade import (
+    soft_argmax_depth,
+    streaming_sweep,
+)
+from .cost_reg import CostRegNet2D, RedStep2
+from .feature_net import FeatureNet
+
+
+class AdaMVS(nn.Module):
+    ndepths: Tuple[int, ...] = (48, 32, 8)
+    depth_interval_ratios: Tuple[float, ...] = (4.0, 2.0, 1.0)
+    num_depth: int = 384
+    base_channels: int = 8
+    norm: str = "group"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs, rel_projs, depth_min, depth_max):
+        """imgs [V, H, W, 3]; rel_projs [3, V-1, 4, 4] per-stage src-vs-ref
+        transforms (host float64 precompute); scalar depth range."""
+        VmapFeature = nn.vmap(
+            FeatureNet,
+            in_axes=0, out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )
+        stage_feats = VmapFeature(
+            base_channels=self.base_channels, arch="branch",
+            norm=self.norm, dtype=self.dtype, name="feature",
+        )(imgs)
+
+        interval = (depth_max - depth_min) / self.num_depth
+
+        # ---- stage 1: per-view matching -> view weights -------------------
+        f1 = stage_feats[0]  # [V, H/4, W/4, 4b]
+        H1, W1 = f1.shape[1:3]
+        rel1 = rel_projs[0].astype(jnp.float32)
+        depths1 = uniform_depth_samples(depth_min, depth_max, self.ndepths[0])
+
+        reg2d = CostRegNet2D(norm=self.norm, dtype=self.dtype, name="pair_reg")
+
+        def pair_view(src_feat, rel):
+            warped = plane_sweep_warp(src_feat, rel, depths1, (H1, W1))
+            corr = (warped * f1[0][None]).mean(-1)  # [D, H, W]
+            scores = reg2d(jnp.transpose(corr, (1, 2, 0)))  # [H, W, D]
+            prob = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            conf = prob.max(-1)
+            pair_depth = jnp.sum(prob * depths1[None, None, :], axis=-1)
+            return conf, pair_depth
+
+        pair = [pair_view(f1[1 + v], rel1[v]) for v in range(f1.shape[0] - 1)]
+        view_weights = jnp.stack([c for c, _ in pair])  # [V-1, H1, W1]
+        pair_depths = jnp.stack([d for _, d in pair])
+        # view_weights are the fixed aggregation weights for all stages
+        # (reference reuses stage-1 pair confidences, adamvs.py:291-302)
+
+        # ---- streaming cascade -------------------------------------------
+        depth = None
+        conf = None
+        outputs = {}
+        for s in range(len(self.ndepths)):
+            feats = stage_feats[s]
+            H, W = feats.shape[1:3]
+            up = s < len(self.ndepths) - 1
+            if depth is None:
+                depths = uniform_depth_samples(depth_min, depth_max, self.ndepths[s])
+            else:
+                center = resize_bilinear(depth, (H, W))
+                depths = window_depth_samples(
+                    center, self.ndepths[s],
+                    self.depth_interval_ratios[s] * interval,
+                )
+            weights = jax.vmap(lambda w: resize_bilinear(w, (H, W)))(view_weights)
+            reg = RedStep2(up=up, dtype=self.dtype, name=f"red{s}")
+            depth, conf = streaming_sweep(
+                reg=reg, cost_mode="correlation", up=up,
+                depths=depths,
+                ref_feat=feats[0],
+                src_feats=feats[1:],
+                rel_projs=rel_projs[s].astype(jnp.float32),
+                weights=weights,
+                init_states=reg.init_states(H, W),
+            )
+            outputs[f"stage{s + 1}"] = {
+                "depth": depth, "photometric_confidence": conf,
+            }
+            if s == 0:
+                outputs["stage1"]["pair_results"] = pair_depths
+                outputs["stage1"]["pair_confidence"] = view_weights
+
+        outputs["depth"] = depth
+        outputs["photometric_confidence"] = conf
+        return outputs

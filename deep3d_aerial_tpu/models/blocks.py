@@ -1,0 +1,143 @@
+"""Flax building blocks for the cascade MVS networks (NHWC / NDHWC layouts).
+
+Functional re-design of the reference torch modules
+(/root/reference/mvs/mvs_cas/models/module.py): conv ± norm ± relu in 2D/3D,
+exact-2x transposed convs, the ConvGRU cell used by the recurrent cost
+regularizers, and the fused upsample-merge block.
+
+Norm layers default to GroupNorm (groups = C//8, reference ConvGnReLU
+module.py:317-325): identical behavior in train and eval, no cross-device
+batch statistics to synchronize — the TPU-native choice. BatchNorm can be
+selected via `norm='batch'` for strict-parity experiments.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _norm_layer(norm: str, dtype) -> Optional[Callable]:
+    if norm == "group":
+        return lambda c: nn.GroupNorm(num_groups=max(1, c // 8), dtype=dtype)
+    if norm == "layer":
+        return lambda c: nn.LayerNorm(dtype=dtype)
+    if norm == "batch":
+        # inference-style BN (running stats folded); use_running_average fixed
+        return lambda c: nn.BatchNorm(use_running_average=True, dtype=dtype)
+    if norm == "none":
+        return None
+    raise ValueError(f"unknown norm {norm!r}")
+
+
+class ConvBlock(nn.Module):
+    """Conv (any rank) + optional norm + optional relu."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    norm: str = "group"
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel,) * self.ndim
+        s = (self.stride,) * self.ndim
+        norm = _norm_layer(self.norm, self.dtype)
+        x = nn.Conv(
+            self.features, k, strides=s, padding="SAME",
+            use_bias=(norm is None), dtype=self.dtype,
+        )(x)
+        if norm is not None:
+            x = norm(self.features)(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    """Exact-2x (or stride-1) transposed conv + optional norm + relu."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    relu: bool = True
+    norm: str = "group"
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel,) * self.ndim
+        s = (self.stride,) * self.ndim
+        norm = _norm_layer(self.norm, self.dtype)
+        x = nn.ConvTranspose(
+            self.features, k, strides=s, padding="SAME",
+            use_bias=(norm is None), dtype=self.dtype,
+        )(x)
+        if norm is not None:
+            x = norm(self.features)(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvFuse(nn.Module):
+    """Upsample 2x, concat with the skip branch, fuse with a conv.
+
+    Reference DeConv2dFuse (module.py:495-513).
+    """
+
+    features: int
+    norm: str = "group"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip, x):
+        x = DeconvBlock(self.features, norm=self.norm, dtype=self.dtype)(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = ConvBlock(self.features, norm=self.norm, dtype=self.dtype)(x)
+        return x
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU over 2D feature maps (reference module.py:5-51).
+
+    h' = u * h + (1 - u) * tanh(conv([x, r * h]))
+    with r, u = sigmoid(conv([x, h])) split in two.
+    """
+
+    hidden: int
+    kernel: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h):
+        k = (self.kernel, self.kernel)
+        gates = nn.Conv(2 * self.hidden, k, padding="SAME", dtype=self.dtype,
+                        name="gates")(jnp.concatenate([x, h], axis=-1))
+        r, u = jnp.split(gates, 2, axis=-1)
+        r = nn.sigmoid(r)
+        u = nn.sigmoid(u)
+        c = nn.Conv(self.hidden, k, padding="SAME", dtype=self.dtype,
+                    name="cand")(jnp.concatenate([x, r * h], axis=-1))
+        c = jnp.tanh(c)
+        h_new = u * h + (1.0 - u) * c
+        return h_new
+
+
+def avgpool_branch(x, pool: int, features: int, norm: str, dtype, name: str):
+    """AvgPool(p) -> 1x1 conv -> bilinear upsample back (AdaMVS context
+    branch, adamvs.py:75-97)."""
+    H, W = x.shape[-3], x.shape[-2]
+    y = nn.avg_pool(x, (pool, pool), strides=(pool, pool))
+    y = ConvBlock(features, kernel=1, norm=norm, dtype=dtype, name=name)(y)
+    y = jax.image.resize(y, (*y.shape[:-3], H, W, y.shape[-1]), method="bilinear")
+    return y

@@ -1,0 +1,229 @@
+"""Shared cascade machinery: cost volumes, soft-argmax heads, streaming sweeps.
+
+All functions are unbatched (one reference view); wrap with vmap/shard_map for
+batching. Geometry stays float32; features may run in bfloat16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import plane_sweep_warp, plane_sweep_warp_single
+
+
+def variance_cost_volume(
+    feats: jnp.ndarray, rel: jnp.ndarray, depths: jnp.ndarray
+) -> jnp.ndarray:
+    """Variance cost volume over views (MVSNet aggregation).
+
+    feats  [V, H, W, C], rel [V-1, 4, 4] (src_P @ inv(ref_P), host-precomputed
+    in float64 — geometry.camera.relative_projections), depths [D] or
+    [D, H, W] -> [D, H, W, C] = E[f^2] - E[f]^2 over the V warped features
+    (reference cas_mvsnet.py:45-60). Accumulated view-by-view to keep only
+    two volumes live.
+    """
+    V = feats.shape[0]
+    rel = rel.astype(jnp.float32)
+    ref = feats[0]
+    D = depths.shape[0]
+    ref_vol = jnp.broadcast_to(ref[None], (D, *ref.shape))
+    vol_sum = ref_vol
+    vol_sq = ref_vol * ref_vol
+
+    def body(carry, inputs):
+        vs, vq = carry
+        feat, r = inputs
+        w = plane_sweep_warp(feat, r, depths, ref.shape[:2])
+        return (vs + w, vq + w * w), None
+
+    (vol_sum, vol_sq), _ = jax.lax.scan(body, (vol_sum, vol_sq), (feats[1:], rel))
+    mean = vol_sum / V
+    vol = vol_sq / V - mean * mean
+    # under an active mesh, shard the depth-hypothesis axis ('sp'); the
+    # downstream softmax over D then compiles to psum-merged partials
+    from ..parallel.context import constrain
+    return constrain(vol, "depth_volume")
+
+
+def variance_cost_plane(
+    ref_feat: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    rel_projs: jnp.ndarray,
+    depth_plane: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-plane variance cost [H, W, C] (streaming building block)."""
+    V = src_feats.shape[0] + 1
+
+    def warp_one(feat, r):
+        return plane_sweep_warp_single(feat, r, depth_plane, ref_feat.shape[:2])
+
+    warped = jax.vmap(warp_one)(src_feats, rel_projs)  # [V-1, H, W, C]
+    vol_sum = ref_feat + warped.sum(0)
+    vol_sq = ref_feat * ref_feat + (warped * warped).sum(0)
+    mean = vol_sum / V
+    return vol_sq / V - mean * mean
+
+
+def correlation_cost_plane(
+    ref_feat: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    rel_projs: jnp.ndarray,
+    depth_plane: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Product-correlation cost at one plane, optionally confidence-weighted.
+
+    weights [V-1, H, W] (AdaMVS view weights); None -> plain mean over views.
+    Returns [H, W, C] (reference adamvs.py:492-509).
+    """
+    def warp_one(feat, r):
+        return plane_sweep_warp_single(feat, r, depth_plane, ref_feat.shape[:2])
+
+    warped = jax.vmap(warp_one)(src_feats, rel_projs)  # [V-1, H, W, C]
+    corr = warped * ref_feat[None]
+    if weights is None:
+        return corr.mean(0)
+    w = weights[..., None]
+    return (corr * w).sum(0) / (w.sum(0) + 1e-5)
+
+
+def soft_argmax_depth(prob: jnp.ndarray, depths: jnp.ndarray) -> jnp.ndarray:
+    """Expected depth under prob [D, H, W]; depths [D] or [D, H, W]."""
+    if depths.ndim == 1:
+        depths = depths[:, None, None]
+    return jnp.sum(prob * depths, axis=0)
+
+
+def window_confidence(prob: jnp.ndarray, window: int = 4) -> jnp.ndarray:
+    """Sum of `window` consecutive probabilities around the expected index.
+
+    Matches the reference confidence head (cas_mvsnet.py:72-76): prob volume
+    padded (1 front, 2 back) in D, 4-tap sliding sum, gathered at the
+    rounded soft-argmax index.
+    """
+    D = prob.shape[0]
+    padded = jnp.pad(prob, ((1, 2), (0, 0), (0, 0)))
+    kernel = jnp.ones((window,), prob.dtype)
+    summed = jax.vmap(
+        lambda col: jnp.convolve(col, kernel, mode="valid"),
+        in_axes=1, out_axes=1,
+    )(padded.reshape(D + 3, -1)).reshape(D, *prob.shape[1:])
+    idx = jnp.sum(prob * jnp.arange(D, dtype=prob.dtype)[:, None, None], axis=0)
+    idx = jnp.clip(idx.astype(jnp.int32), 0, D - 1)
+    return jnp.take_along_axis(summed, idx[None], axis=0)[0]
+
+
+def masked_softmax_depth_head(
+    scores: jnp.ndarray, depths: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """softmax over D -> (prob [D,H,W], depth [H,W], maxprob [H,W])."""
+    prob = jax.nn.softmax(scores, axis=0)
+    depth = soft_argmax_depth(prob, depths)
+    return prob, depth, prob.max(axis=0)
+
+
+class _SweepStep(nn.Module):
+    """One depth plane of a streaming sweep: build cost, run the recurrent
+    regularizer step, fold the score into the online softmax."""
+
+    reg: nn.Module
+    cost_mode: str  # 'variance' | 'correlation'
+    up: bool
+
+    @nn.compact
+    def __call__(self, carry, depth_plane, ref_feat, src_feats, rel_projs, weights):
+        states, osm = carry
+        if self.cost_mode == "variance":
+            cost = variance_cost_plane(ref_feat, src_feats, rel_projs, depth_plane)
+        else:
+            cost = correlation_cost_plane(
+                ref_feat, src_feats, rel_projs, depth_plane, weights
+            )
+        out = self.reg(cost, *states)
+        score, new_states = out[0], tuple(out[1:])
+        if self.up:
+            dv = jax.image.resize(depth_plane, score.shape, method="bilinear")
+        else:
+            dv = depth_plane
+        osm = OnlineSoftmaxState.update(osm, score.astype(jnp.float32), dv)
+        return (new_states, osm), None
+
+
+def streaming_sweep(
+    reg: nn.Module,
+    cost_mode: str,
+    up: bool,
+    depths: jnp.ndarray,
+    ref_feat: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    rel_projs: jnp.ndarray,
+    weights: Optional[jnp.ndarray],
+    init_states: Tuple[jnp.ndarray, ...],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lax.scan over depth planes with O(H*W) state -> (depth, confidence).
+
+    The TPU equivalent of the reference's slice loops (adamvs.py:492-529,
+    msrednet.py:400-438): GRU states + online exp-weighted soft-argmax carried
+    across planes, never materializing a [D, H, W, C] volume.
+    """
+    H, W = ref_feat.shape[:2]
+    if depths.ndim == 1:
+        depths = jnp.broadcast_to(depths[:, None, None], (depths.shape[0], H, W))
+    out_shape = (2 * H, 2 * W) if up else (H, W)
+    osm0 = OnlineSoftmaxState.init(out_shape)
+    if weights is None:
+        weights = jnp.ones((src_feats.shape[0], H, W), jnp.float32)
+
+    Scan = nn.scan(
+        _SweepStep,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+        out_axes=0,
+    )
+    (states, osm), _ = Scan(reg=reg, cost_mode=cost_mode, up=up)(
+        (init_states, osm0), depths, ref_feat, src_feats, rel_projs, weights
+    )
+    return OnlineSoftmaxState.finalize(osm)
+
+
+class OnlineSoftmaxState:
+    """Numerically-stable online softmax accumulation over depth planes.
+
+    Computes the same estimator as the reference's streaming loops
+    (adamvs.py:514-529, msrednet.py:400-438):
+        depth = sum_d exp(s_d) * depth_d / sum_d exp(s_d)
+        conf  = max_d exp(s_d) / sum_d exp(s_d)
+    but carries a running max so exp never overflows — the standard online
+    softmax merge (also what a depth-sharded psum-merge uses in parallel/).
+    """
+
+    @staticmethod
+    def init(shape, dtype=jnp.float32):
+        return (
+            jnp.full(shape, -jnp.inf, dtype),  # running max m
+            jnp.zeros(shape, dtype),  # scaled exp sum
+            jnp.zeros(shape, dtype),  # scaled depth accumulator
+            jnp.zeros(shape, dtype),  # scaled max prob
+        )
+
+    @staticmethod
+    def update(state, score, depth_value):
+        m, s, acc, pmax = state
+        m_new = jnp.maximum(m, score)
+        scale = jnp.exp(m - m_new)
+        e = jnp.exp(score - m_new)
+        s = s * scale + e
+        acc = acc * scale + e * depth_value
+        pmax = jnp.maximum(pmax * scale, e)
+        return (m_new, s, acc, pmax)
+
+    @staticmethod
+    def finalize(state):
+        _, s, acc, pmax = state
+        s = s + 1e-10
+        return acc / s, pmax / s  # (depth, confidence)

@@ -1,0 +1,170 @@
+"""Cost-volume regularizers.
+
+  * CostRegNet3D   — 3D-CNN hourglass over [D, H, W, C] volumes
+                     (reference cas_mvsnet.py:81-121 / ucsnet.py:56-96)
+  * CostRegNet2D   — 2D hourglass over [H, W, D] score maps (adamvs.py:198-238)
+  * RedStep2       — 2-level ConvGRU recurrent step, one depth plane at a time
+                     (adamvs SliceCostRegNetRED, adamvs.py:403-427)
+  * RedStep4       — 4-level ConvGRU encoder-decoder step
+                     (msrednet slice_RED_Regularization, msrednet.py:337-372)
+
+The recurrent steps are pure one-plane functions: streaming inference wraps
+them in `nn.scan` over the depth axis — the TPU analog of the reference's
+Python plane loops, with O(H*W) state instead of O(D*H*W) volumes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .blocks import ConvBlock, ConvGRUCell, DeconvBlock
+
+
+class CostRegNet3D(nn.Module):
+    """Hourglass over [D, H, W, C_in] -> [D, H, W] scores. D,H,W % 8 == 0."""
+
+    norm: str = "group"
+    dtype: Any = jnp.float32
+    base: int = 8
+
+    @nn.compact
+    def __call__(self, vol):
+        b, norm, dt = self.base, self.norm, self.dtype
+        c0 = ConvBlock(b, ndim=3, norm=norm, dtype=dt)(vol)
+        c1 = ConvBlock(2 * b, ndim=3, stride=2, norm=norm, dtype=dt)(c0)
+        c2 = ConvBlock(2 * b, ndim=3, norm=norm, dtype=dt)(c1)
+        c3 = ConvBlock(4 * b, ndim=3, stride=2, norm=norm, dtype=dt)(c2)
+        c4 = ConvBlock(4 * b, ndim=3, norm=norm, dtype=dt)(c3)
+        c5 = ConvBlock(8 * b, ndim=3, stride=2, norm=norm, dtype=dt)(c4)
+        x = ConvBlock(8 * b, ndim=3, norm=norm, dtype=dt)(c5)
+        x = c4 + DeconvBlock(4 * b, ndim=3, norm=norm, dtype=dt)(x)
+        x = c2 + DeconvBlock(2 * b, ndim=3, norm=norm, dtype=dt)(x)
+        x = c0 + DeconvBlock(b, ndim=3, norm=norm, dtype=dt)(x)
+        x = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=dt, name="prob")(x)
+        return x[..., 0]  # [D, H, W]
+
+
+class CostRegNet2D(nn.Module):
+    """2D hourglass treating the D score planes as channels: [H, W, D] -> [H, W, D]."""
+
+    norm: str = "group"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        norm, dt = self.norm, self.dtype
+        c = x.shape[-1]
+        c0 = ConvBlock(c, norm=norm, dtype=dt)(x)
+        c2 = ConvBlock(c, norm=norm, dtype=dt)(
+            ConvBlock(c, stride=2, norm=norm, dtype=dt)(c0))
+        c4 = ConvBlock(c, norm=norm, dtype=dt)(
+            ConvBlock(c, stride=2, norm=norm, dtype=dt)(c2))
+        x = ConvBlock(c, norm=norm, dtype=dt)(
+            ConvBlock(c, stride=2, norm=norm, dtype=dt)(c4))
+        x = c4 + DeconvBlock(c, norm=norm, dtype=dt)(x)
+        x = c2 + DeconvBlock(c, norm=norm, dtype=dt)(x)
+        x = c0 + DeconvBlock(c, norm=norm, dtype=dt)(x)
+        x = nn.Conv(c, (3, 3), padding="SAME", dtype=dt, name="prob")(x)
+        return x
+
+
+class RedStep2(nn.Module):
+    """One recurrent-regularization step (2-level GRU), AdaMVS flavor.
+
+    cost [H, W, C_in], states (s1 [H,W,8], s2 [H/2,W/2,16])
+    -> score map [2H, 2W] if `up` else [H, W], new states.
+    """
+
+    up: bool = True
+    base: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cost, s1, s2):
+        b, dt = self.base, self.dtype
+        x1 = ConvBlock(b, norm="none", dtype=dt, name="conv1")(cost)
+        r1 = ConvGRUCell(b, dtype=dt, name="gru1")(x1, s1)
+        x2 = ConvBlock(2 * b, stride=2, norm="none", dtype=dt, name="conv2")(r1)
+        r2 = ConvGRUCell(2 * b, dtype=dt, name="gru2")(x2, s2)
+        up1 = nn.ConvTranspose(b, (3, 3), strides=(2, 2), padding="SAME",
+                               dtype=dt, name="upconv1")(r2)
+        fused = nn.relu(up1 + r1)
+        if self.up:
+            score = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME",
+                                     dtype=dt, name="upconv2d")(fused)
+        else:
+            score = nn.Conv(1, (3, 3), padding="SAME", dtype=dt, name="out2d")(fused)
+        return score[..., 0], r1, r2
+
+    def init_states(self, H: int, W: int):
+        b = self.base
+        return (
+            jnp.zeros((H, W, b), self.dtype),
+            jnp.zeros((H // 2, W // 2, 2 * b), self.dtype),
+        )
+
+    def out_shape(self, H: int, W: int):
+        return (2 * H, 2 * W) if self.up else (H, W)
+
+
+class NormGRUCell(nn.Module):
+    """ConvGRU with GroupNorm(1) on gates and candidate (reference
+    ConvGRUCell2, module.py:53-99) — the MSREDNet recurrence."""
+
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h):
+        k = (3, 3)
+        gates = nn.Conv(2 * self.hidden, k, padding="SAME", dtype=self.dtype,
+                        name="gates")(jnp.concatenate([x, h], axis=-1))
+        r, u = jnp.split(gates, 2, axis=-1)
+        r = nn.sigmoid(nn.GroupNorm(num_groups=1, dtype=self.dtype, name="rn")(r))
+        u = nn.sigmoid(nn.GroupNorm(num_groups=1, dtype=self.dtype, name="un")(u))
+        o = nn.Conv(self.hidden, k, padding="SAME", dtype=self.dtype,
+                    name="cand")(jnp.concatenate([x, r * h], axis=-1))
+        o = jnp.tanh(nn.GroupNorm(num_groups=1, dtype=self.dtype, name="on")(o))
+        return u * h + (1.0 - u) * o
+
+
+class RedStep4(nn.Module):
+    """One 4-level recurrent encoder-decoder step (MSREDNet flavor).
+
+    cost [H, W, C_in] (negated variance fed by caller), states pyramid
+    (s1 [H,W,8], s2 [H/2,W/2,16], s3 [H/4,W/4,32], s4 [H/8,W/8,64])
+    -> score [H, W], new states.
+    """
+
+    base: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cost, s1, s2, s3, s4):
+        b, dt = self.base, self.dtype
+        neg = -cost
+        d1 = ConvBlock(2 * b, stride=2, norm="none", dtype=dt, name="conv1")(neg)
+        d2 = ConvBlock(4 * b, stride=2, norm="none", dtype=dt, name="conv2")(d1)
+        d3 = ConvBlock(8 * b, stride=2, norm="none", dtype=dt, name="conv3")(d2)
+        r4 = NormGRUCell(8 * b, dtype=dt, name="gru4")(d3, s4)
+        u3 = DeconvBlock(4 * b, norm="none", dtype=dt, name="upconv3")(r4)
+        r3 = NormGRUCell(4 * b, dtype=dt, name="gru3")(d2, s3)
+        u2 = DeconvBlock(2 * b, norm="none", dtype=dt, name="upconv2")(u3 + r3)
+        r2 = NormGRUCell(2 * b, dtype=dt, name="gru2")(d1, s2)
+        u1 = DeconvBlock(b, norm="none", dtype=dt, name="upconv1")(u2 + r2)
+        r1 = NormGRUCell(b, dtype=dt, name="gru1")(neg, s1)
+        score = nn.Conv(1, (3, 3), padding="SAME", dtype=dt,
+                        name="out2d")(u1 + r1)
+        return score[..., 0], r1, r2, r3, r4
+
+    def init_states(self, H: int, W: int):
+        b = self.base
+        return (
+            jnp.zeros((H, W, b), self.dtype),
+            jnp.zeros((H // 2, W // 2, 2 * b), self.dtype),
+            jnp.zeros((H // 4, W // 4, 4 * b), self.dtype),
+            jnp.zeros((H // 8, W // 8, 8 * b), self.dtype),
+        )

@@ -1,0 +1,99 @@
+"""Multi-scale feature extractors (3-stage pyramids at 1/4, 1/2, 1/1 res).
+
+Three architectures, matching the reference zoo:
+  * 'fpn'    — FPN top-down merge (FeatureNet_mvsnet, module.py:653-755)
+  * 'unet'   — deconv-fuse decoder (same class, arch_mode='unet')
+  * 'branch' — UNet decoder + dual avg-pool context branches per stage
+               (AdaMVS FeatureNet, adamvs.py:50-153)
+
+Output channels per stage: [4b, 2b, b] with base b=8.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .blocks import ConvBlock, DeconvFuse, avgpool_branch
+
+
+def _upsample2x_nearest(x):
+    H, W, C = x.shape[-3:]
+    return jax.image.resize(x, (*x.shape[:-3], H * 2, W * 2, C), method="nearest")
+
+
+class FeatureNet(nn.Module):
+    base_channels: int = 8
+    arch: str = "fpn"  # 'fpn' | 'unet' | 'branch'
+    norm: str = "group"
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self) -> Tuple[int, int, int]:
+        b = self.base_channels
+        return (4 * b, 2 * b, b)
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [H, W, 3] -> (stage1 [H/4,W/4,4b], stage2 [H/2,W/2,2b], stage3 [H,W,b])."""
+        b = self.base_channels
+        norm, dt = self.norm, self.dtype
+
+        conv0 = ConvBlock(b, 3, norm=norm, dtype=dt)(x)
+        conv0 = ConvBlock(b, 3, norm=norm, dtype=dt)(conv0)
+
+        conv1 = ConvBlock(2 * b, 5, stride=2, norm=norm, dtype=dt)(conv0)
+        conv1 = ConvBlock(2 * b, 3, norm=norm, dtype=dt)(conv1)
+        conv1 = ConvBlock(2 * b, 3, norm=norm, dtype=dt)(conv1)
+
+        conv2 = ConvBlock(4 * b, 5, stride=2, norm=norm, dtype=dt)(conv1)
+        conv2 = ConvBlock(4 * b, 3, norm=norm, dtype=dt)(conv2)
+        conv2 = ConvBlock(4 * b, 3, norm=norm, dtype=dt)(conv2)
+
+        if self.arch == "fpn":
+            s1 = nn.Conv(4 * b, (1, 1), use_bias=False, dtype=dt, name="out1")(conv2)
+            intra = _upsample2x_nearest(conv2) + nn.Conv(
+                4 * b, (1, 1), dtype=dt, name="inner1")(conv1)
+            s2 = nn.Conv(2 * b, (3, 3), padding="SAME", use_bias=False, dtype=dt,
+                         name="out2")(intra)
+            intra = _upsample2x_nearest(intra) + nn.Conv(
+                4 * b, (1, 1), dtype=dt, name="inner2")(conv0)
+            s3 = nn.Conv(b, (3, 3), padding="SAME", use_bias=False, dtype=dt,
+                         name="out3")(intra)
+            return s1, s2, s3
+
+        if self.arch == "unet":
+            s1 = nn.Conv(4 * b, (1, 1), use_bias=False, dtype=dt, name="out1")(conv2)
+            intra = DeconvFuse(2 * b, norm=norm, dtype=dt, name="deconv1")(conv1, conv2)
+            s2 = nn.Conv(2 * b, (1, 1), use_bias=False, dtype=dt, name="out2")(intra)
+            intra = DeconvFuse(b, norm=norm, dtype=dt, name="deconv2")(conv0, intra)
+            s3 = nn.Conv(b, (1, 1), use_bias=False, dtype=dt, name="out3")(intra)
+            return s1, s2, s3
+
+        if self.arch == "branch":
+            # stage1: context branches on conv2
+            br1 = avgpool_branch(conv2, 4, 2 * b, norm, dt, "branch1_1")
+            br2 = avgpool_branch(conv2, 8, 2 * b, norm, dt, "branch1_2")
+            s1 = nn.Conv(4 * b, (1, 1), use_bias=False, dtype=dt, name="out1")(
+                jnp.concatenate([br1, br2, conv2], axis=-1)
+            )
+
+            intra = DeconvFuse(2 * b, norm=norm, dtype=dt, name="deconv1")(conv1, conv2)
+            br1 = avgpool_branch(intra, 4, b, norm, dt, "branch2_1")
+            br2 = avgpool_branch(intra, 8, b, norm, dt, "branch2_2")
+            s2 = nn.Conv(2 * b, (1, 1), use_bias=False, dtype=dt, name="out2")(
+                jnp.concatenate([br1, br2, intra], axis=-1)
+            )
+
+            intra = DeconvFuse(b, norm=norm, dtype=dt, name="deconv2")(conv0, intra)
+            br1 = avgpool_branch(intra, 4, b // 2, norm, dt, "branch3_1")
+            br2 = avgpool_branch(intra, 8, b // 2, norm, dt, "branch3_2")
+            s3 = nn.Conv(b, (1, 1), use_bias=False, dtype=dt, name="out3")(
+                jnp.concatenate([br1, br2, intra], axis=-1)
+            )
+            return s1, s2, s3
+
+        raise ValueError(f"unknown feature arch {self.arch!r}")

@@ -1,0 +1,140 @@
+"""Sharded training / inference steps.
+
+Data-parallel over the ref-view batch axis ('dp'); optional depth-hypothesis
+sharding ('sp') via the sharding context (parallel.context). Params are
+replicated; XLA inserts the gradient all-reduce from the sharding layout —
+no hand-written collectives (ICI-friendly by construction).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.losses import cascade_depth_loss
+
+
+def make_optimizer(
+    lr: float = 0.001,
+    milestones: Sequence[int] = (),
+    gamma: float = 0.5,
+    kind: str = "rmsprop",
+) -> optax.GradientTransformation:
+    """RMSprop + multi-step LR decay (reference train_whu.py:131-163)."""
+    if milestones:
+        schedule = optax.piecewise_constant_schedule(
+            lr, {int(m): gamma for m in milestones}
+        )
+    else:
+        schedule = lr
+    if kind == "rmsprop":
+        return optax.rmsprop(schedule)
+    if kind == "adam":
+        return optax.adam(schedule)
+    if kind == "adamw":
+        return optax.adamw(schedule)
+    raise ValueError(f"unknown optimizer {kind!r}")
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_stages: int = 3,
+    stage_weights: Sequence[float] = (0.5, 1.0, 2.0),
+    pair_weight: float = 1.0,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Returns jitted step(params, opt_state, batch) -> (params, opt_state, logs).
+
+    batch dict (leading dim B, sharded on 'dp' when a mesh is given):
+      imgs [B, V, H, W, 3], rel_projs [B, S, V-1, 4, 4],
+      depth_min [B], depth_max [B], depth_gt [B, H, W], mask [B, H, W]
+    """
+
+    def loss_fn(params, batch):
+        def one(imgs, rel_projs, dmin, dmax, gt, mask):
+            out = model.apply(params, imgs, rel_projs, dmin, dmax)
+            logs = cascade_depth_loss(
+                out,
+                [gt] * num_stages,
+                [mask] * num_stages,
+                stage_weights=stage_weights,
+                pair_weight=pair_weight,
+            )
+            return logs["total"], logs
+
+        totals, logs = jax.vmap(one)(
+            batch["imgs"], batch["rel_projs"], batch["depth_min"],
+            batch["depth_max"], batch["depth_gt"], batch["mask"],
+        )
+        return totals.mean(), jax.tree_util.tree_map(jnp.mean, logs)
+
+    def step(params, opt_state, batch):
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch
+        )
+        # NaN guard: skip the update on non-finite loss (reference
+        # train_whu.py:290-292 skips backward on NaN)
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, logs
+
+    if mesh is not None:
+        data_spec = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+
+        def batch_shardings(batch):
+            return {
+                k: NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
+                for k, v in batch.items()
+            }
+
+        def sharded_step(params, opt_state, batch):
+            fn = jax.jit(
+                step,
+                in_shardings=(repl, repl, batch_shardings(batch)),
+                out_shardings=(repl, repl, repl),
+            )
+            return fn(params, opt_state, batch)
+
+        return sharded_step
+    return jax.jit(step)
+
+
+def make_infer_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns jitted infer(params, batch) -> {'depth', 'photometric_confidence'}
+    over a batch of ref-view samples, batch sharded on 'dp'."""
+
+    def infer(params, imgs, rel_projs, dmin, dmax):
+        def one(im, rp, a, b):
+            out = model.apply(params, im, rp, a, b)
+            return {
+                "depth": out["depth"],
+                "photometric_confidence": out["photometric_confidence"],
+            }
+        return jax.vmap(one)(imgs, rel_projs, dmin, dmax)
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        dp = lambda nd: NamedSharding(mesh, P("dp", *([None] * (nd - 1))))
+
+        def sharded(params, imgs, rel_projs, dmin, dmax):
+            fn = jax.jit(
+                infer,
+                in_shardings=(
+                    repl, dp(imgs.ndim), dp(rel_projs.ndim), dp(1), dp(1)
+                ),
+            )
+            return fn(params, imgs, rel_projs, dmin, dmax)
+
+        return sharded
+    return jax.jit(infer)

@@ -1,0 +1,163 @@
+"""Pipeline configuration: same YAML schema as the reference config.yaml.
+
+Sections and fields mirror /root/reference/run.py:63-128 so existing configs
+drive this pipeline unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    # PREPROCESS
+    fext: str = ".png"
+    cams_ori: str = "XrightYup"
+    rotation_ori: str = "Rwc"
+    translation_ori: str = "twc"
+    image_w: int = 3712
+    image_h: int = 5504
+    image_scale: float = 0.5
+
+    # VIEWSELECTION
+    run_view_selection: bool = True
+    view_selection_mode: str = "triangulated_points"
+    scene_block_size: Sequence[float] = (300.0, 600.0, 600.0)
+    block_overlap: float = 4.0
+    bbx_border_scene: Optional[Sequence[float]] = None
+
+    # DENSEMATCH
+    run_mvs: bool = True
+    view_num: int = 5
+    num_depth: int = 384
+    min_interval: float = 0.1
+    model_type: str = "adamvs"
+    pretrain_weight: Optional[str] = None
+    display_depth: bool = False
+
+    # FUSION
+    run_depth_fusion: bool = True
+    fusion_num: int = 10
+    geo_consist_num: int = 4
+    photomatric_threshold: float = 0.2
+    position_threshold: float = 1.0
+    depth_threshold: float = 0.01
+    normal_threshold: float = 90.0
+    pc_format: str = "ply"
+
+    # CREATEMESH
+    run_create_mesh: bool = True
+    recons_insert_distance: float = 1.5
+    recons_decimate_ratio: float = 1.0
+    refine_decimate_ratio: float = 1.0
+    texture_decimate_ratio: float = 1.0
+    refine_scale_times: int = 1
+
+    # CREATEDSM
+    run_create_dsm: bool = True
+    dsm_source: str = "mesh"
+    pc_select_method: str = "Robust_Max"
+    pc_interpolation_method: Optional[str] = None
+    dsm_uint: Sequence[float] = (0.2, 0.2)
+    dsm_size: Sequence[int] = (2900, 2900)
+    bbx_border_dsm: Optional[Sequence[float]] = None
+
+    @property
+    def max_w(self) -> int:
+        return int(self.image_w * self.image_scale)
+
+    @property
+    def max_h(self) -> int:
+        return int(self.image_h * self.image_scale)
+
+    @classmethod
+    def from_yaml(cls, path) -> "PipelineConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        kwargs = {}
+        section_map = {
+            "PREPROCESS": ["fext", "cams_ori", "rotation_ori", "translation_ori",
+                           "image_w", "image_h", "image_scale"],
+            "VIEWSELECTION": ["run_view_selection", "view_selection_mode",
+                              "scene_block_size", "block_overlap",
+                              "bbx_border_scene"],
+            "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
+                           "model_type", "pretrain_weight", "display_depth"],
+            "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
+                       "photomatric_threshold", "position_threshold",
+                       "depth_threshold", "normal_threshold", "pc_format"],
+            "CREATEMESH": ["run_create_mesh", "recons_insert_distance",
+                           "recons_decimate_ratio", "refine_decimate_ratio",
+                           "texture_decimate_ratio", "refine_scale_times"],
+            "CREATEDSM": ["run_create_dsm", "dsm_source", "pc_select_method",
+                          "pc_interpolation_method", "dsm_uint", "dsm_size",
+                          "bbx_border_dsm"],
+        }
+        for section, fields in section_map.items():
+            data = raw.get(section, {}) or {}
+            for f in fields:
+                if f in data:
+                    kwargs[f] = data[f]
+        return cls(**kwargs)
+
+    def to_yaml(self, path) -> None:
+        doc = {
+            "PREPROCESS": {
+                "fext": self.fext, "cams_ori": self.cams_ori,
+                "rotation_ori": self.rotation_ori,
+                "translation_ori": self.translation_ori,
+                "image_w": self.image_w, "image_h": self.image_h,
+                "image_scale": self.image_scale,
+            },
+            "VIEWSELECTION": {
+                "run_view_selection": self.run_view_selection,
+                "view_selection_mode": self.view_selection_mode,
+                "scene_block_size": list(self.scene_block_size),
+                "block_overlap": self.block_overlap,
+                "bbx_border_scene": (
+                    list(self.bbx_border_scene) if self.bbx_border_scene else None
+                ),
+            },
+            "DENSEMATCH": {
+                "run_mvs": self.run_mvs, "view_num": self.view_num,
+                "num_depth": self.num_depth, "min_interval": self.min_interval,
+                "model_type": self.model_type,
+                "pretrain_weight": self.pretrain_weight,
+                "display_depth": self.display_depth,
+            },
+            "FUSION": {
+                "run_depth_fusion": self.run_depth_fusion,
+                "fusion_num": self.fusion_num,
+                "geo_consist_num": self.geo_consist_num,
+                "photomatric_threshold": self.photomatric_threshold,
+                "position_threshold": self.position_threshold,
+                "depth_threshold": self.depth_threshold,
+                "normal_threshold": self.normal_threshold,
+                "pc_format": self.pc_format,
+            },
+            "CREATEMESH": {
+                "run_create_mesh": self.run_create_mesh,
+                "recons_insert_distance": self.recons_insert_distance,
+                "recons_decimate_ratio": self.recons_decimate_ratio,
+                "refine_decimate_ratio": self.refine_decimate_ratio,
+                "texture_decimate_ratio": self.texture_decimate_ratio,
+                "refine_scale_times": self.refine_scale_times,
+            },
+            "CREATEDSM": {
+                "run_create_dsm": self.run_create_dsm,
+                "dsm_source": self.dsm_source,
+                "pc_select_method": self.pc_select_method,
+                "pc_interpolation_method": self.pc_interpolation_method,
+                "dsm_uint": list(self.dsm_uint),
+                "dsm_size": list(self.dsm_size) if self.dsm_size else None,
+                "bbx_border_dsm": (
+                    list(self.bbx_border_dsm) if self.bbx_border_dsm else None
+                ),
+            },
+        }
+        with open(path, "w") as f:
+            yaml.safe_dump(doc, f, sort_keys=False)

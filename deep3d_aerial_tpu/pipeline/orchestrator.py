@@ -1,0 +1,312 @@
+"""End-to-end pipeline orchestrator (the reference's AerialMVS, in-process).
+
+Capability parity with /root/reference/run.py:39-306, with stage handoff in
+memory + the same file artifacts for interoperability:
+
+  workspace/
+    sparse/               COLMAP model (input)
+    export/               predef cams/images, image_path, viewpair, blocks
+    dense/MVS/            <name>_init.pfm, _prob.pfm, <name>.txt
+    dense/fusion/         scene_i.ply (+ scene_i.txt border)
+    mesh/                 scene_i_mesh.ply
+    dsm/                  dsm.tif + dsm.tfw
+    production/           copied final products
+
+No subprocess boundaries: every stage is a method call; the MVS stage runs
+a single jit-compiled model over all ref views.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..dsm import DSMConfig, DSMFromMesh, DSMFromPointCloud
+from ..fusion import DepthFusion, FusionConfig, ViewGeometry
+from ..fusion.fuse import ViewData
+from ..geometry.camera import relative_projections
+from ..io import text_formats as tf
+from ..io.geotiff import write_geotiff, write_tfw
+from ..io.pfm import read_pfm, write_pfm
+from ..io.ply import read_ply, write_ply
+from ..sparse import view_selection
+from ..sparse.export import export_predef
+from .config import PipelineConfig
+from .dataset import EvalDataset
+
+
+def _join(*parts):
+    return os.path.join(*parts)
+
+
+class AerialPipeline:
+    def __init__(self, workspace: str, config: PipelineConfig):
+        self.ws = workspace
+        self.cfg = config
+
+        self.sparse_path = _join(workspace, "sparse")
+        self.export_path = _join(workspace, "export")
+        self.dense_path = _join(workspace, "dense")
+        self.mvs_path = _join(self.dense_path, "MVS")
+        self.fusion_path = _join(self.dense_path, "fusion")
+        self.mesh_path = _join(workspace, "mesh")
+        self.dsm_path = _join(workspace, "dsm")
+        self.production_path = _join(workspace, "production")
+        for p in (self.export_path, self.dense_path, self.mvs_path,
+                  self.fusion_path, self.mesh_path, self.dsm_path,
+                  self.production_path):
+            os.makedirs(p, exist_ok=True)
+
+    # ---------------- stage 1: view selection -------------------------
+    def select_view(self) -> None:
+        cfg = self.cfg
+        export_predef(self.sparse_path, self.export_path)
+
+        from ..sparse import colmap
+
+        _, _, points = colmap.read_model(self.sparse_path)
+        xyz = np.stack([p.xyz for p in points.values()]) if points else np.zeros((0, 3))
+        blocks, border = view_selection.compute_scene_blocks(
+            xyz,
+            block_size=cfg.scene_block_size[1:3]
+            if len(cfg.scene_block_size) == 3 else cfg.scene_block_size,
+            overlap=cfg.block_overlap,
+            bbx_border=cfg.bbx_border_scene,
+        )
+        block_refs, viewpairs = view_selection.select_views(
+            self.sparse_path, blocks, mode=cfg.view_selection_mode,
+            database_path=_join(self.ws, "database.db"),
+        )
+        tf.write_view_pairs(_join(self.export_path, "viewpair.txt"), viewpairs)
+        tf.write_blocks(_join(self.export_path, "blocks.txt"), block_refs)
+        tf.write_border(_join(self.export_path, "scene_border.txt"), border)
+
+    # ---------------- stage 2: dense matching -------------------------
+    def dense_match(self, params=None) -> None:
+        cfg = self.cfg
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import build_model
+
+        ds = EvalDataset(
+            self.export_path,
+            view_num=cfg.view_num,
+            num_depth=cfg.num_depth,
+            resize_scale=cfg.image_scale,
+            max_h=cfg.max_h, max_w=cfg.max_w,
+        )
+        if len(ds) == 0:
+            return
+
+        model = build_model(cfg.model_type, num_depth=cfg.num_depth)
+        sample0 = ds.build(0)
+        if params is None:
+            params = self._load_params(model, sample0)
+
+        @jax.jit
+        def infer(p, imgs, rel, dmin, dmax):
+            out = model.apply(p, imgs, rel, dmin, dmax)
+            return out["depth"], out["photometric_confidence"]
+
+        for i in range(len(ds)):
+            s = ds.build(i)
+            t0 = time.time()
+            depth, conf = infer(
+                params, jnp.asarray(s.imgs), jnp.asarray(s.rel_projs),
+                s.depth_min, s.depth_max,
+            )
+            depth = np.asarray(depth, np.float32)
+            conf = np.asarray(conf, np.float32)
+            write_pfm(_join(self.mvs_path, f"{s.ref_name}_init.pfm"), depth)
+            write_pfm(_join(self.mvs_path, f"{s.ref_name}_prob.pfm"), conf)
+            tf.write_mvs_cam(_join(self.mvs_path, f"{s.ref_name}.txt"), s.ref_cam)
+            print(f"[mvs] {s.ref_name}: {time.time() - t0:.2f}s")
+
+    def _load_params(self, model, sample):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        if cfg.pretrain_weight and os.path.exists(cfg.pretrain_weight):
+            from ..train.checkpoint import restore_params
+
+            return restore_params(cfg.pretrain_weight)
+        # random init (capability-testing mode; accuracy requires training)
+        return model.init(
+            jax.random.PRNGKey(0), jnp.asarray(sample.imgs),
+            jnp.asarray(sample.rel_projs), sample.depth_min, sample.depth_max,
+        )
+
+    # ---------------- stage 3: fusion ---------------------------------
+    def fuse_depth_map(self) -> List[str]:
+        cfg = self.cfg
+        fusion = DepthFusion(FusionConfig(
+            fusion_num=cfg.fusion_num,
+            min_geo_consist=cfg.geo_consist_num,
+            photometric_threshold=cfg.photomatric_threshold,
+            position_threshold=cfg.position_threshold,
+            depth_threshold=cfg.depth_threshold,
+            normal_threshold_deg=cfg.normal_threshold,
+            pc_format=cfg.pc_format,
+        ))
+
+        _, names = tf.read_image_paths(_join(self.export_path, "image_path.txt"))
+        pairs = tf.read_view_pairs(_join(self.export_path, "viewpair.txt"))
+        blocks = tf.read_blocks(_join(self.export_path, "blocks.txt"))
+        name_of = {i: os.path.splitext(n)[0] for i, n in names.items()}
+
+        # load every produced view once
+        views: Dict[str, ViewData] = {}
+        for vid, name in name_of.items():
+            dpath = _join(self.mvs_path, f"{name}_init.pfm")
+            cpath = _join(self.mvs_path, f"{name}.txt")
+            if not (os.path.exists(dpath) and os.path.exists(cpath)):
+                continue
+            cam = tf.read_mvs_cam(cpath)
+            depth = read_pfm(dpath)[0]
+            ppath = _join(self.mvs_path, f"{name}_prob.pfm")
+            prob = read_pfm(ppath)[0] if os.path.exists(ppath) else None
+            npath = _join(self.mvs_path, f"{name}_normal.pfm")
+            normal = None
+            if os.path.exists(npath):
+                normal = read_pfm(npath)[0] * 2.0 - 1.0
+            img = None
+            if cam.image_path and os.path.exists(cam.image_path):
+                from PIL import Image
+
+                im = Image.open(cam.image_path).convert("RGB")
+                if im.size != (depth.shape[1], depth.shape[0]):
+                    im = im.resize((depth.shape[1], depth.shape[0]))
+                img = np.asarray(im, np.float32) / 255.0
+            views[name] = ViewData(
+                name=name, image_id=cam.image_id,
+                geom=ViewGeometry.create(cam.K, cam.T_cw),
+                depth=depth, prob=prob, normal_cam=normal, image=img,
+            )
+
+        pair_of = {ref: [s for s, _ in plist] for ref, plist in pairs}
+
+        results = []
+        for bi, (bbx, refs) in enumerate(blocks):
+            view_list = []
+            for r in refs:
+                if r in name_of and name_of[r] in views and r in pair_of:
+                    srcs = [name_of[s] for s in pair_of[r] if s in name_of]
+                    view_list.append((name_of[r], srcs))
+            if not view_list:
+                continue
+            fused = fusion.fuse_block(views, view_list, scene_range=bbx)
+            scene = f"scene_{bi}"
+            out_ply = _join(self.fusion_path, f"{scene}.ply")
+            write_ply(out_ply, fused.xyz, fused.normals, fused.colors)
+            tf.write_border(_join(self.fusion_path, f"{scene}.txt"), bbx)
+            results.append(out_ply)
+            print(f"[fusion] {scene}: {fused.xyz.shape[0]} points")
+        return results
+
+    # ---------------- stage 4: mesh -----------------------------------
+    def create_mesh(self) -> List[str]:
+        from ..mesh import MeshConfig, create_mesh_from_ply
+
+        cfg = self.cfg
+        out = []
+        for fname in sorted(os.listdir(self.fusion_path)):
+            if not fname.endswith(".ply"):
+                continue
+            src = _join(self.fusion_path, fname)
+            dst = _join(self.mesh_path, fname.replace(".ply", "_mesh.ply"))
+            create_mesh_from_ply(
+                src, dst,
+                MeshConfig(
+                    insert_distance=cfg.recons_insert_distance,
+                    decimate_ratio=cfg.recons_decimate_ratio,
+                ),
+            )
+            out.append(dst)
+            print(f"[mesh] {dst}")
+        return out
+
+    # ---------------- stage 5: DSM ------------------------------------
+    def create_dsm(self) -> Optional[str]:
+        cfg = self.cfg
+        border_path = _join(self.export_path, "scene_border.txt")
+        if cfg.bbx_border_dsm is not None:
+            bbx = list(cfg.bbx_border_dsm)
+        elif os.path.exists(border_path):
+            bbx = list(tf.read_border(border_path))
+        else:
+            return None
+
+        dcfg = DSMConfig(
+            cell_size=tuple(cfg.dsm_uint),
+            select_method=cfg.pc_select_method,
+            interp_method=cfg.pc_interpolation_method,
+        )
+
+        if cfg.dsm_source == "mesh":
+            from ..mesh.trimesh_io import read_mesh_ply
+
+            grids = []
+            for fname in sorted(os.listdir(self.mesh_path)):
+                if fname.endswith(".ply"):
+                    v, f = read_mesh_ply(_join(self.mesh_path, fname))
+                    grids.append(DSMFromMesh(dcfg).create(v, f, bbx))
+            if not grids:
+                return None
+            grid = np.full_like(grids[0], dcfg.nodata)
+            for g in grids:
+                grid = np.where(g != dcfg.nodata, np.maximum(grid, g), grid)
+        else:
+            pts = []
+            for fname in sorted(os.listdir(self.fusion_path)):
+                if fname.endswith(".ply"):
+                    p, _, _ = read_ply(_join(self.fusion_path, fname))
+                    pts.append(p)
+            if not pts:
+                return None
+            grid = DSMFromPointCloud(dcfg).create(np.concatenate(pts), bbx)
+
+        out_tif = _join(self.dsm_path, "dsm.tif")
+        write_geotiff(out_tif, grid, origin_xy=(bbx[0], bbx[3]),
+                      cell_size=dcfg.cell_size, nodata=dcfg.nodata)
+        write_tfw(_join(self.dsm_path, "dsm.tfw"), (bbx[0], bbx[3]),
+                  dcfg.cell_size)
+        print(f"[dsm] {out_tif} {grid.shape}")
+        return out_tif
+
+    # ---------------- production --------------------------------------
+    def move_production(self) -> None:
+        mapping = {
+            self.fusion_path: _join(self.production_path, "Point_Cloud"),
+            self.mesh_path: _join(self.production_path, "Mesh"),
+            self.dsm_path: _join(self.production_path, "DSM"),
+        }
+        for src, dst in mapping.items():
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.endswith((".ply", ".tif", ".tfw")):
+                    shutil.copy2(_join(src, fname), _join(dst, fname))
+
+    # ---------------- full run ----------------------------------------
+    def run_dense(self, params=None) -> None:
+        cfg = self.cfg
+        stages = [
+            (cfg.run_view_selection, "view selection", self.select_view),
+            (cfg.run_mvs, "dense matching",
+             lambda: self.dense_match(params=params)),
+            (cfg.run_depth_fusion, "depth fusion", self.fuse_depth_map),
+            (cfg.run_create_mesh, "mesh", self.create_mesh),
+            (cfg.run_create_dsm, "dsm", self.create_dsm),
+        ]
+        for enabled, label, fn in stages:
+            if not enabled:
+                continue
+            t0 = time.time()
+            fn()
+            print(f"[pipeline] {label}: {(time.time() - t0) / 60.0:.2f} min")
+        self.move_production()

@@ -1,0 +1,64 @@
+"""Checkpoint save/restore (orbax), mirroring the reference's resume logic.
+
+Reference behavior (/root/reference/mvs/mvs_cas/train_whu.py:138-153,185,
+214-219): per-epoch checkpoint holding model + optimizer + epoch; resume
+picks the newest; eval error is encoded in the checkpoint name.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    epoch: int,
+    params: Any,
+    opt_state: Any = None,
+    abs_error: Optional[float] = None,
+) -> str:
+    ocp = _ocp()
+    name = f"model_{epoch:06d}"
+    if abs_error is not None:
+        name += f"_{abs_error:.4f}"
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {"params": params, "epoch": np.asarray(epoch)}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        m = re.match(r"model_(\d+)", name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    if not entries:
+        return None
+    entries.sort()
+    return os.path.join(ckpt_dir, entries[-1][1])
+
+
+def restore_checkpoint(path: str) -> dict:
+    ocp = _ocp()
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+def restore_params(path: str) -> Any:
+    payload = restore_checkpoint(path)
+    return payload["params"] if "params" in payload else payload

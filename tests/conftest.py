@@ -1,14 +1,38 @@
-"""Test env: force CPU backend with 8 virtual devices so multi-chip sharding
-paths are exercised without TPU hardware (set BEFORE jax import)."""
+"""Test env: force a pure-CPU JAX with 8 virtual devices.
+
+The container's sitecustomize registers a remote-TPU PJRT plugin in every
+python process when PALLAS_AXON_POOL_IPS is set, and that plugin overrides
+JAX_PLATFORMS=cpu (jax.devices() still returns the TPU). Tests must NOT
+touch the single shared TPU chip (slow remote compiles, exclusive claims),
+so if the plugin env is present we re-exec pytest once with it stripped.
+"""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The sitecustomize-registered remote-TPU ("axon") PJRT plugin overrides
+# JAX_PLATFORMS=cpu. Drop its backend factory before any backend initializes
+# so tests run on the pure in-process CPU backend and never claim the chip.
+try:  # noqa: E402
+    import jax
+
+    # jax was already imported by sitecustomize with JAX_PLATFORMS=axon in the
+    # env, so the config snapshot must be updated, not just os.environ.
+    jax.config.update("jax_platforms", "cpu")
+    import jax._src.xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if "axon" in _name:
+            _xb._backend_factories.pop(_name, None)
+except Exception:  # pragma: no cover - plugin absent in clean envs
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,62 @@
+import numpy as np
+
+from deep3d_aerial_tpu.io.ply import write_ply
+from deep3d_aerial_tpu.mesh import MeshConfig, create_mesh_from_ply, delaunay_mesh_25d
+from deep3d_aerial_tpu.mesh.trimesh_io import read_mesh_ply, write_mesh_ply
+
+
+def grid_points(n=30, spacing=1.0, z_fn=None):
+    xs, ys = np.meshgrid(np.arange(n) * spacing, np.arange(n) * spacing)
+    z = z_fn(xs, ys) if z_fn else np.zeros_like(xs)
+    return np.stack([xs.ravel(), ys.ravel(), z.ravel()], -1).astype(np.float32)
+
+
+def test_delaunay_flat_grid():
+    pts = grid_points(20)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.0))
+    assert len(verts) > 100
+    assert len(faces) > 100
+    assert faces.max() < len(verts)
+    # all faces CCW in xy (upward normals)
+    a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    det = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+        c[:, 0] - a[:, 0])
+    assert (det >= 0).all()
+
+
+def test_delaunay_culls_long_edges():
+    # two distant clusters must not be bridged
+    p1 = grid_points(10, 1.0)
+    p2 = grid_points(10, 1.0) + np.array([100.0, 0, 0], np.float32)
+    pts = np.concatenate([p1, p2])
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.0))
+    a = verts[faces[:, 0]]
+    b = verts[faces[:, 1]]
+    c = verts[faces[:, 2]]
+    for u, v in [(a, b), (b, c), (c, a)]:
+        assert np.linalg.norm(u - v, axis=1).max() < 20.0
+
+
+def test_mesh_ply_round_trip(tmp_path, rng):
+    verts = rng.normal(size=(50, 3)).astype(np.float32)
+    faces = rng.integers(0, 50, size=(30, 3)).astype(np.int32)
+    colors = rng.integers(0, 255, size=(50, 3)).astype(np.uint8)
+    p = tmp_path / "m.ply"
+    write_mesh_ply(p, verts, faces, colors)
+    v2, f2 = read_mesh_ply(p)
+    assert np.array_equal(v2, verts)
+    assert np.array_equal(f2, faces)
+
+
+def test_create_mesh_from_ply(tmp_path, rng):
+    pts = grid_points(25, 1.0, z_fn=lambda x, y: 0.1 * x)
+    colors = rng.integers(0, 255, size=(len(pts), 3)).astype(np.uint8)
+    src = tmp_path / "cloud.ply"
+    dst = tmp_path / "mesh.ply"
+    write_ply(src, pts, colors=colors)
+    verts, faces = create_mesh_from_ply(src, dst, MeshConfig(insert_distance=1.0))
+    assert dst.exists()
+    v2, f2 = read_mesh_ply(dst)
+    assert len(v2) == len(verts) and len(f2) == len(faces)
+    # mesh surface approximates z = 0.1x
+    assert np.abs(v2[:, 2] - 0.1 * v2[:, 0]).max() < 1e-4
