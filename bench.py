@@ -3,16 +3,19 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Operating point mirrors the reference config (BASELINE.md): 5 views, 384
-depth hypotheses (cascade 48/32/8 x ratios 4/2/1). The spatial size is set
-by BENCH_H/BENCH_W (default 576x768) so a round completes quickly; the
-per-pixel rate (Mpix*plane/s) is the hardware-meaningful number and scales
-linearly to the reference's full 1856x2752 operating point.
+depth hypotheses (cascade 48/32/8 x ratios 4/2/1). Spatial size via
+BENCH_H/BENCH_W (default 384x512); per-map time scales ~linearly with area
+toward the reference's full 1856x2752 point.
 
-vs_baseline: ratio against the reference GPU path's implied throughput.
-The reference publishes no aggregate number (BASELINE.md); we anchor to
-0.02 depth-maps/s at the full 1856x2752x384 point (a typical per-image
-time of ~50 s/image printed by predict.py on a 2080Ti-class GPU), scaled
-to the benchmarked resolution.
+Timing note: this TPU is reached through a relay where
+`block_until_ready` does not reliably round-trip, so timing uses a
+DATA-DEPENDENT chain of steps (each step consumes a scalar produced by the
+previous one) closed by a single pre-compiled scalar fetch — the only
+honest clock through an async tunnel. Rate = (t_long - t_short) / (N - 1).
+
+vs_baseline anchors to the reference GPU path at ~50 s/image at full
+resolution (typical per-image time printed by predict.py on a
+2080Ti-class GPU; the repo publishes no aggregate), scaled by area.
 """
 
 import json
@@ -21,39 +24,58 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 
 def main():
     import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _example_inputs
     from deep3d_aerial_tpu.models import build_model
 
     V = int(os.environ.get("BENCH_VIEWS", "5"))
-    H = int(os.environ.get("BENCH_H", "576"))
-    W = int(os.environ.get("BENCH_W", "768"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    H = int(os.environ.get("BENCH_H", "384"))
+    W = int(os.environ.get("BENCH_W", "512"))
+    n_short = int(os.environ.get("BENCH_SHORT", "1"))
+    n_long = int(os.environ.get("BENCH_LONG", "6"))
 
     model = build_model("adamvs", ndepths=(48, 32, 8), num_depth=384)
     imgs, rel = _example_inputs(V=V, H=H, W=W)
     params = model.init(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
 
     @jax.jit
-    def fn(p, imgs, rel):
-        out = model.apply(p, imgs, rel, 80.0, 120.0)
-        return out["depth"], out["photometric_confidence"]
+    def step(p, imgs, rel, feedback):
+        out = model.apply(p, imgs + feedback, rel, 80.0, 120.0)
+        d = out["depth"]
+        # tiny scalar derived from the result chains the next step's input
+        return d, out["photometric_confidence"], jnp.mean(d) * 1e-12
 
-    d, c = fn(params, imgs, rel)
-    d.block_until_ready()  # compile + warm up
+    fetch = jax.jit(lambda d: d[0, 0])
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        d, c = fn(params, imgs, rel)
-    d.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    def run_chain(n):
+        fb = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        d = None
+        for _ in range(n):
+            d, c, fb = step(params, imgs, rel, fb)
+        _ = float(fetch(d))  # true sync: host readback of a chained value
+        return time.perf_counter() - t0
+
+    # compile everything (step + fetch) before timing
+    run_chain(1)
+    run_chain(1)
+
+    t_short = min(run_chain(n_short) for _ in range(2))
+    t_long = min(run_chain(n_long) for _ in range(2))
+    dt = max((t_long - t_short) / (n_long - n_short), 1e-9)
 
     maps_per_s = 1.0 / dt
 
-    # anchor: ~50 s/image on the reference GPU at 1856x2752; scale by area
     ref_full_rate = 1.0 / 50.0
     scale = (1856 * 2752) / (H * W)
     baseline_rate = ref_full_rate * scale

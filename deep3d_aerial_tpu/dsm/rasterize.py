@@ -58,6 +58,12 @@ def _cell_indices(x, y, bbx, cfg, shape):
 def rasterize_max(points: np.ndarray, bbx, cfg: DSMConfig) -> np.ndarray:
     """Per-cell max-z grid [rows, cols]; empty cells = nodata."""
     rows, cols = _grid_shape(bbx, cfg)
+    from ..utils.native import dsm_reduce
+
+    native = dsm_reduce(points, bbx, cfg.cell_size, (rows, cols),
+                        cfg.nodata, robust=False)
+    if native is not None:
+        return native
     grid = np.full(rows * cols, -np.inf, np.float64)
     iy, ix, ok = _cell_indices(points[:, 0], points[:, 1], bbx, cfg, (rows, cols))
     flat = iy[ok] * cols + ix[ok]
@@ -72,6 +78,13 @@ def rasterize_robust_max(points: np.ndarray, bbx, cfg: DSMConfig) -> np.ndarray:
     cell — rejects isolated high returns (birds, matching spikes) that plain
     Max keeps."""
     rows, cols = _grid_shape(bbx, cfg)
+    from ..utils.native import dsm_reduce
+
+    native = dsm_reduce(points, bbx, cfg.cell_size, (rows, cols),
+                        cfg.nodata, robust=True)
+    if native is not None:
+        return native
+
     iy, ix, ok = _cell_indices(points[:, 0], points[:, 1], bbx, cfg, (rows, cols))
     flat = iy[ok] * cols + ix[ok]
     z = points[ok, 2]

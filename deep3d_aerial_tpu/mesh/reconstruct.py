@@ -35,6 +35,17 @@ def grid_decimate(
     """Keep one (mean) point per xy grid cell of side `spacing`."""
     if spacing <= 0 or len(points) == 0:
         return points, colors, normals
+
+    from ..utils.native import grid_decimate_indices
+
+    idx_native = grid_decimate_indices(points, spacing)
+    if idx_native is not None:
+        return (
+            points[idx_native],
+            colors[idx_native] if colors is not None else None,
+            normals[idx_native] if normals is not None else None,
+        )
+
     key = np.floor(points[:, :2] / spacing).astype(np.int64)
     # hash cells
     h = key[:, 0] * 73856093 ^ key[:, 1] * 19349663

@@ -205,9 +205,41 @@ class AerialPipeline:
             out_ply = _join(self.fusion_path, f"{scene}.ply")
             write_ply(out_ply, fused.xyz, fused.normals, fused.colors)
             tf.write_border(_join(self.fusion_path, f"{scene}.txt"), bbx)
+            self._write_mvs_scene(
+                _join(self.fusion_path, f"{scene}.mvs"), views, fused
+            )
             results.append(out_ply)
             print(f"[fusion] {scene}: {fused.xyz.shape[0]} points")
         return results
+
+    @staticmethod
+    def _write_mvs_scene(path, views: Dict[str, ViewData], fused) -> None:
+        """Emit the OpenMVS Interface handoff next to the fused PLY
+        (reference fusion_3d_normal.py:574-581)."""
+        from types import SimpleNamespace
+
+        from ..io.mvs_interface import scene_from_fusion, write_mvs
+
+        ordered = sorted(views.values(), key=lambda v: v.image_id)
+        cam_records = []
+        images = []
+        id_to_index = {}
+        for idx, v in enumerate(ordered):
+            H, W = v.depth.shape
+            cam_records.append(SimpleNamespace(K=v.geom.K, width=W, height=H))
+            R_cw = np.asarray(v.geom.T_cw, np.float64)[:3, :3]
+            center = np.asarray(v.geom.T_wc, np.float64)[:3, 3]
+            images.append((v.image_id, idx, v.name, R_cw, center))
+            id_to_index[v.image_id] = idx
+
+        scene = scene_from_fusion(
+            cam_records, images, fused.xyz, fused.visibility,
+            normals=fused.normals, colors=fused.colors,
+            image_id_to_index=id_to_index,
+        )
+        # each image has its own (possibly cropped) intrinsics -> one platform
+        # per view is the safe general layout; see scene_from_fusion
+        write_mvs(path, scene)
 
     # ---------------- stage 4: mesh -----------------------------------
     def create_mesh(self) -> List[str]:
