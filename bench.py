@@ -46,7 +46,7 @@ def main():
 
     model = build_model("adamvs", ndepths=(48, 32, 8), num_depth=384)
     imgs, rel = _example_inputs(V=V, H=H, W=W)
-    params = model.init(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
 
     @jax.jit
     def step(p, imgs, rel, feedback):

@@ -23,6 +23,13 @@ import jax.numpy as jnp
 from .blocks import ConvBlock, ConvGRUCell, DeconvBlock
 
 
+def _crop_like(x, ref):
+    """Crop a decoder output to a skip tensor's spatial shape (transposed
+    convs overshoot by one on odd input sizes)."""
+    slices = tuple(slice(0, s) for s in ref.shape)
+    return x[slices]
+
+
 class CostRegNet3D(nn.Module):
     """Hourglass over [D, H, W, C_in] -> [D, H, W] scores. D,H,W % 8 == 0."""
 
@@ -40,9 +47,9 @@ class CostRegNet3D(nn.Module):
         c4 = ConvBlock(4 * b, ndim=3, norm=norm, dtype=dt)(c3)
         c5 = ConvBlock(8 * b, ndim=3, stride=2, norm=norm, dtype=dt)(c4)
         x = ConvBlock(8 * b, ndim=3, norm=norm, dtype=dt)(c5)
-        x = c4 + DeconvBlock(4 * b, ndim=3, norm=norm, dtype=dt)(x)
-        x = c2 + DeconvBlock(2 * b, ndim=3, norm=norm, dtype=dt)(x)
-        x = c0 + DeconvBlock(b, ndim=3, norm=norm, dtype=dt)(x)
+        x = c4 + _crop_like(DeconvBlock(4 * b, ndim=3, norm=norm, dtype=dt)(x), c4)
+        x = c2 + _crop_like(DeconvBlock(2 * b, ndim=3, norm=norm, dtype=dt)(x), c2)
+        x = c0 + _crop_like(DeconvBlock(b, ndim=3, norm=norm, dtype=dt)(x), c0)
         x = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=dt, name="prob")(x)
         return x[..., 0]  # [D, H, W]
 
@@ -64,9 +71,9 @@ class CostRegNet2D(nn.Module):
             ConvBlock(c, stride=2, norm=norm, dtype=dt)(c2))
         x = ConvBlock(c, norm=norm, dtype=dt)(
             ConvBlock(c, stride=2, norm=norm, dtype=dt)(c4))
-        x = c4 + DeconvBlock(c, norm=norm, dtype=dt)(x)
-        x = c2 + DeconvBlock(c, norm=norm, dtype=dt)(x)
-        x = c0 + DeconvBlock(c, norm=norm, dtype=dt)(x)
+        x = c4 + _crop_like(DeconvBlock(c, norm=norm, dtype=dt)(x), c4)
+        x = c2 + _crop_like(DeconvBlock(c, norm=norm, dtype=dt)(x), c2)
+        x = c0 + _crop_like(DeconvBlock(c, norm=norm, dtype=dt)(x), c0)
         x = nn.Conv(c, (3, 3), padding="SAME", dtype=dt, name="prob")(x)
         return x
 
@@ -91,7 +98,7 @@ class RedStep2(nn.Module):
         r2 = ConvGRUCell(2 * b, dtype=dt, name="gru2")(x2, s2)
         up1 = nn.ConvTranspose(b, (3, 3), strides=(2, 2), padding="SAME",
                                dtype=dt, name="upconv1")(r2)
-        fused = nn.relu(up1 + r1)
+        fused = nn.relu(_crop_like(up1, r1) + r1)
         if self.up:
             score = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME",
                                      dtype=dt, name="upconv2d")(fused)
@@ -152,12 +159,14 @@ class RedStep4(nn.Module):
         r4 = NormGRUCell(8 * b, dtype=dt, name="gru4")(d3, s4)
         u3 = DeconvBlock(4 * b, norm="none", dtype=dt, name="upconv3")(r4)
         r3 = NormGRUCell(4 * b, dtype=dt, name="gru3")(d2, s3)
-        u2 = DeconvBlock(2 * b, norm="none", dtype=dt, name="upconv2")(u3 + r3)
+        u2 = DeconvBlock(2 * b, norm="none", dtype=dt,
+                         name="upconv2")(_crop_like(u3, r3) + r3)
         r2 = NormGRUCell(2 * b, dtype=dt, name="gru2")(d1, s2)
-        u1 = DeconvBlock(b, norm="none", dtype=dt, name="upconv1")(u2 + r2)
+        u1 = DeconvBlock(b, norm="none", dtype=dt,
+                         name="upconv1")(_crop_like(u2, r2) + r2)
         r1 = NormGRUCell(b, dtype=dt, name="gru1")(neg, s1)
         score = nn.Conv(1, (3, 3), padding="SAME", dtype=dt,
-                        name="out2d")(u1 + r1)
+                        name="out2d")(_crop_like(u1, r1) + r1)
         return score[..., 0], r1, r2, r3, r4
 
     def init_states(self, H: int, W: int):

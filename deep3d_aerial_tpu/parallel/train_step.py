@@ -55,6 +55,13 @@ def make_train_step(
       imgs [B, V, H, W, 3], rel_projs [B, S, V-1, 4, 4],
       depth_min [B], depth_max [B], depth_gt [B, H, W], mask [B, H, W]
     """
+    # spmd_axis_name makes batched sharding constraints (the models'
+    # depth-volume 'sp' annotations) keep the batch dim on 'dp'. Without it
+    # the vmapped constraint marks the batch dim replicated, fighting the dp
+    # layout (observed: 10x-wrong gradients under a dp x sp mesh).
+    vmap_kwargs = {}
+    if mesh is not None and "dp" in mesh.axis_names:
+        vmap_kwargs["spmd_axis_name"] = "dp"
 
     def loss_fn(params, batch):
         def one(imgs, rel_projs, dmin, dmax, gt, mask):
@@ -68,7 +75,7 @@ def make_train_step(
             )
             return logs["total"], logs
 
-        totals, logs = jax.vmap(one)(
+        totals, logs = jax.vmap(one, **vmap_kwargs)(
             batch["imgs"], batch["rel_projs"], batch["depth_min"],
             batch["depth_max"], batch["depth_gt"], batch["mask"],
         )
@@ -99,12 +106,22 @@ def make_train_step(
             }
 
         def sharded_step(params, opt_state, batch):
-            fn = jax.jit(
-                step,
-                in_shardings=(repl, repl, batch_shardings(batch)),
-                out_shardings=(repl, repl, repl),
-            )
-            return fn(params, opt_state, batch)
+            # Mid-graph depth-volume constraints are DISABLED while tracing
+            # the gradient: XLA's backward through the batch-replicating
+            # re-layout produced ~10x-wrong gradients under a combined
+            # dp x sp mesh on the host SPMD backend (loss/forward exact;
+            # each axis alone exact — see tests/test_parallel.py). Training
+            # shards on 'dp' + XLA's own propagation; depth sharding stays
+            # on for inference (make_infer_step).
+            from .context import use_mesh as _use_mesh
+
+            with _use_mesh(mesh, specs={}):
+                fn = jax.jit(
+                    step,
+                    in_shardings=(repl, repl, batch_shardings(batch)),
+                    out_shardings=(repl, repl, repl),
+                )
+                return fn(params, opt_state, batch)
 
         return sharded_step
     return jax.jit(step)
@@ -114,6 +131,10 @@ def make_infer_step(model, mesh: Optional[Mesh] = None) -> Callable:
     """Returns jitted infer(params, batch) -> {'depth', 'photometric_confidence'}
     over a batch of ref-view samples, batch sharded on 'dp'."""
 
+    vmap_kwargs = {}
+    if mesh is not None and "dp" in mesh.axis_names:
+        vmap_kwargs["spmd_axis_name"] = "dp"
+
     def infer(params, imgs, rel_projs, dmin, dmax):
         def one(im, rp, a, b):
             out = model.apply(params, im, rp, a, b)
@@ -121,7 +142,7 @@ def make_infer_step(model, mesh: Optional[Mesh] = None) -> Callable:
                 "depth": out["depth"],
                 "photometric_confidence": out["photometric_confidence"],
             }
-        return jax.vmap(one)(imgs, rel_projs, dmin, dmax)
+        return jax.vmap(one, **vmap_kwargs)(imgs, rel_projs, dmin, dmax)
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())

@@ -38,6 +38,7 @@ class PipelineConfig:
     model_type: str = "adamvs"
     pretrain_weight: Optional[str] = None
     display_depth: bool = False
+    infer_batch_size: int = 1  # ref views per device step (throughput knob)
 
     # FUSION
     run_depth_fusion: bool = True

@@ -110,22 +110,54 @@ class AerialPipeline:
 
         @jax.jit
         def infer(p, imgs, rel, dmin, dmax):
-            out = model.apply(p, imgs, rel, dmin, dmax)
-            return out["depth"], out["photometric_confidence"]
+            def one(im, rp, a, b):
+                out = model.apply(p, im, rp, a, b)
+                return out["depth"], out["photometric_confidence"]
 
-        for i in range(len(ds)):
-            s = ds.build(i)
+            return jax.vmap(one)(imgs, rel, dmin, dmax)
+
+        B = max(1, int(getattr(cfg, "infer_batch_size", 1)))
+        from concurrent.futures import ThreadPoolExecutor
+
+        loader = ThreadPoolExecutor(max_workers=2)
+        futures = {
+            i: loader.submit(ds.build, i) for i in range(min(2 * B, len(ds)))
+        }
+
+        def get_sample(i):
+            if i not in futures:
+                futures[i] = loader.submit(ds.build, i)
+            s = futures.pop(i).result()
+            nxt = max(futures.keys(), default=i) + 1
+            if nxt < len(ds):
+                futures[nxt] = loader.submit(ds.build, nxt)
+            return s
+
+        for start in range(0, len(ds), B):
+            idxs = list(range(start, min(start + B, len(ds))))
+            samples = [get_sample(i) for i in idxs]
+            # pad the last batch to keep the compiled shape
+            while len(samples) < B:
+                samples.append(samples[-1])
             t0 = time.time()
             depth, conf = infer(
-                params, jnp.asarray(s.imgs), jnp.asarray(s.rel_projs),
-                s.depth_min, s.depth_max,
+                params,
+                jnp.asarray(np.stack([s.imgs for s in samples])),
+                jnp.asarray(np.stack([s.rel_projs for s in samples])),
+                jnp.asarray([s.depth_min for s in samples], jnp.float32),
+                jnp.asarray([s.depth_max for s in samples], jnp.float32),
             )
             depth = np.asarray(depth, np.float32)
             conf = np.asarray(conf, np.float32)
-            write_pfm(_join(self.mvs_path, f"{s.ref_name}_init.pfm"), depth)
-            write_pfm(_join(self.mvs_path, f"{s.ref_name}_prob.pfm"), conf)
-            tf.write_mvs_cam(_join(self.mvs_path, f"{s.ref_name}.txt"), s.ref_cam)
-            print(f"[mvs] {s.ref_name}: {time.time() - t0:.2f}s")
+            for k, i in enumerate(idxs):
+                s = samples[k]
+                write_pfm(_join(self.mvs_path, f"{s.ref_name}_init.pfm"), depth[k])
+                write_pfm(_join(self.mvs_path, f"{s.ref_name}_prob.pfm"), conf[k])
+                tf.write_mvs_cam(_join(self.mvs_path, f"{s.ref_name}.txt"),
+                                 s.ref_cam)
+            print(f"[mvs] {[s.ref_name for s in samples[:len(idxs)]]}: "
+                  f"{time.time() - t0:.2f}s")
+        loader.shutdown()
 
     def _load_params(self, model, sample):
         import jax
@@ -137,13 +169,14 @@ class AerialPipeline:
 
             return restore_params(cfg.pretrain_weight)
         # random init (capability-testing mode; accuracy requires training)
-        return model.init(
+        return jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.asarray(sample.imgs),
-            jnp.asarray(sample.rel_projs), sample.depth_min, sample.depth_max,
+            jnp.asarray(sample.rel_projs),
+            jnp.float32(sample.depth_min), jnp.float32(sample.depth_max),
         )
 
     # ---------------- stage 3: fusion ---------------------------------
-    def fuse_depth_map(self) -> List[str]:
+    def fuse_depth_map(self, block_indices: Optional[List[int]] = None) -> List[str]:
         cfg = self.cfg
         fusion = DepthFusion(FusionConfig(
             fusion_num=cfg.fusion_num,
@@ -193,6 +226,8 @@ class AerialPipeline:
 
         results = []
         for bi, (bbx, refs) in enumerate(blocks):
+            if block_indices is not None and bi not in block_indices:
+                continue
             view_list = []
             for r in refs:
                 if r in name_of and name_of[r] in views and r in pair_of:
@@ -323,6 +358,80 @@ class AerialPipeline:
             for fname in os.listdir(src):
                 if fname.endswith((".ply", ".tif", ".tfw")):
                     shutil.copy2(_join(src, fname), _join(dst, fname))
+
+    # ---------------- pipelined run (PP over scene blocks) -------------
+    def run_dense_pipelined(self, params=None) -> None:
+        """Block-pipelined execution: the device streams per-view depth maps
+        while a host worker fuses + meshes each scene block as soon as all
+        of its views are on disk — the pipeline-parallel axis of SURVEY
+        §2.10 (the reference runs stages strictly sequentially,
+        run.py:263-279). Fusion consumption order across blocks is preserved
+        by the single worker processing blocks in index order.
+        """
+        import threading
+
+        if self.cfg.run_view_selection:
+            self.select_view()
+
+        blocks = tf.read_blocks(_join(self.export_path, "blocks.txt"))
+        pairs = tf.read_view_pairs(_join(self.export_path, "viewpair.txt"))
+        _, names = tf.read_image_paths(_join(self.export_path, "image_path.txt"))
+        name_of = {i: os.path.splitext(n)[0] for i, n in names.items()}
+        pair_of = {r: [s for s, _ in p][: self.cfg.fusion_num] for r, p in pairs}
+
+        def block_view_names(bi):
+            bbx, refs = blocks[bi]
+            need = set()
+            for r in refs:
+                if r in name_of:
+                    need.add(name_of[r])
+                    need.update(name_of[s] for s in pair_of.get(r, [])
+                                if s in name_of)
+            return need
+
+        def block_ready(bi):
+            return all(
+                os.path.exists(_join(self.mvs_path, f"{n}_init.pfm"))
+                and os.path.exists(_join(self.mvs_path, f"{n}.txt"))
+                for n in block_view_names(bi)
+            )
+
+        stop = threading.Event()
+        errors = []
+
+        def host_worker():
+            try:
+                next_block = 0
+                while next_block < len(blocks):
+                    if block_ready(next_block):
+                        if self.cfg.run_depth_fusion:
+                            self.fuse_depth_map(block_indices=[next_block])
+                        next_block += 1
+                    elif stop.is_set():
+                        # device finished; anything not ready never will be
+                        if block_ready(next_block):
+                            continue
+                        next_block += 1
+                    else:
+                        stop.wait(0.25)
+                if self.cfg.run_create_mesh:
+                    self.create_mesh()
+            except Exception as e:  # surface worker failures to the caller
+                errors.append(e)
+
+        worker = threading.Thread(target=host_worker)
+        worker.start()
+        try:
+            if self.cfg.run_mvs:
+                self.dense_match(params=params)
+        finally:
+            stop.set()
+            worker.join()
+        if errors:
+            raise errors[0]
+        if self.cfg.run_create_dsm:
+            self.create_dsm()
+        self.move_production()
 
     # ---------------- full run ----------------------------------------
     def run_dense(self, params=None) -> None:

@@ -86,3 +86,36 @@ def export_predef(sparse_path: str, output_path: str):
     return {c.camera_id: c for c in predef_cams}, {
         im.image_id: im for im in predef_images
     }
+
+
+def export_rednet_cams(cameras_txt: str, images_txt: str, out_dir: str):
+    """predef text -> per-view 'rednet' training cam files.
+
+    Parity with /root/reference/format/export_predef.py:16-35 +
+    IO/params_io.py:183-214: one '<image_id>.txt' per view with a 'Twc'
+    header (XrightYup/Rwc/twc 4x4), 'K_mat' 3x3, depth range line, and an
+    image-info line.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cams = text_formats.read_predef_cameras(cameras_txt)
+    images = text_formats.read_predef_images(images_txt)
+    written = []
+    for im in images.values():
+        cam = cams[im.camera_id]
+        R, t = im.pose.to_convention(
+            axes="xrightyup", rotation="Rwc", translation="twc"
+        )
+        path = os.path.join(out_dir, f"{im.image_id}.txt")
+        with open(path, "w") as f:
+            f.write("Twc\n")
+            for i in range(3):
+                f.write(f"{R[i,0]:.6f} {R[i,1]:.6f} {R[i,2]:.6f} {t[i]:.6f}\n")
+            f.write("0.000000 0.000000 0.000000 1.000000\n\n")
+            f.write("K_mat\n")
+            f.write(f"{cam.fx:.6f} 0.000000 {cam.cx:.6f}\n")
+            f.write(f"0.000000 {cam.fy:.6f} {cam.cy:.6f}\n")
+            f.write("0.000000 0.000000 1.000000\n\n")
+            f.write(f"{im.depth_min:.6f} {im.depth_max:.6f} 0.100000\n\n")
+            f.write(f"{im.name} 0 0 0 0 {cam.width} {cam.height}\n")
+        written.append(path)
+    return written

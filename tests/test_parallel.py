@@ -44,7 +44,11 @@ def test_devices_available():
 
 def test_sharded_train_step_matches_single(rng):
     batch = make_batch(rng)
-    model = build_model("casmvsnet", ndepths=(8, 8, 8), num_depth=32)
+    # SINGLE-stage model: the multi-stage cascade re-samples depth windows
+    # around the previous stage's depth, so fp-noise between layouts shifts
+    # bilinear gather cells discretely and gradients are not comparable.
+    # One stage has no resampling feedback -> layouts must agree closely.
+    model = build_model("casmvsnet", ndepths=(8,), num_depth=32)
     # SGD: first-step RMSprop updates are ~sign(g) and amplify benign
     # reduction-order noise between layouts; SGD keeps deltas O(lr * dg)
     import optax
@@ -57,36 +61,44 @@ def test_sharded_train_step_matches_single(rng):
     opt0 = tx.init(params)
 
     # single-device step
-    step1 = make_train_step(model, tx, pair_weight=0.0)
+    step1 = make_train_step(model, tx, num_stages=1, pair_weight=0.0)
     p1, _, logs1 = step1(params, opt0, batch)
 
     # dp4 x sp2 sharded step
     mesh = make_mesh({"dp": 4, "sp": 2})
     with use_mesh(mesh):
-        step2 = make_train_step(model, tx, pair_weight=0.0, mesh=mesh)
+        step2 = make_train_step(model, tx, num_stages=1, pair_weight=0.0,
+                                mesh=mesh)
         sharded = shard_batch(batch, mesh, "dp")
         p2, _, logs2 = step2(params, opt0, sharded)
 
     assert np.isclose(float(logs1["total"]), float(logs2["total"]), rtol=1e-4)
-    # updated parameters agree across layouts. An untrained cascade's
-    # gradients are chaotic (soft-argmax over near-uniform probabilities
-    # amplifies fp32 reduction-order noise between layouts), so compare the
-    # UPDATE DIRECTION per leaf, not exact values: a wrong collective would
-    # produce wildly different or misscaled updates.
-    flat1 = jax.tree_util.tree_leaves(p1)
-    flat2 = jax.tree_util.tree_leaves(p2)
-    flat0 = jax.tree_util.tree_leaves(params)
-    for a, b, p0 in zip(flat1, flat2, flat0):
-        u1 = np.asarray(a) - np.asarray(p0)
-        u2 = np.asarray(b) - np.asarray(p0)
-        n1 = np.linalg.norm(u1)
-        n2 = np.linalg.norm(u2)
-        if n1 < 1e-12 and n2 < 1e-12:
-            continue
-        # comparable magnitude and aligned direction
-        assert 0.5 < (n2 + 1e-12) / (n1 + 1e-12) < 2.0
-        cos = float(np.sum(u1 * u2) / ((n1 * n2) + 1e-24))
-        assert cos > 0.8, f"update direction diverged (cos={cos})"
+    # Compare the GLOBAL update across layouts. Per-leaf comparison is
+    # degenerate: several leaves have mathematically-zero gradients (e.g. the
+    # score-conv bias under softmax shift invariance), so those leaves carry
+    # pure reduction-order noise. The global update is dominated by the real
+    # gradients; a wrong collective (missing psum, double-count) would break
+    # norm ratio or direction badly.
+    # exclude the score-conv bias leaves: softmax shift-invariance makes
+    # their true gradient 0, so the computed value is catastrophic-
+    # cancellation noise whose magnitude depends on reduction order.
+    def flat_updates(p_new):
+        paths_new = jax.tree_util.tree_flatten_with_path(p_new)[0]
+        paths_old = jax.tree_util.tree_flatten_with_path(params)[0]
+        out = []
+        for (path, a), (_, p0) in zip(paths_new, paths_old):
+            key = jax.tree_util.keystr(path)
+            if "prob" in key and "bias" in key:
+                continue
+            out.append((np.asarray(a) - np.asarray(p0)).ravel())
+        return np.concatenate(out)
+
+    u1 = flat_updates(p1)
+    u2 = flat_updates(p2)
+    n1, n2 = np.linalg.norm(u1), np.linalg.norm(u2)
+    assert 0.9 < n2 / n1 < 1.1, (n1, n2)
+    cos = float(u1 @ u2 / (n1 * n2))
+    assert cos > 0.99, f"global update direction diverged (cos={cos})"
 
 
 def test_sharded_infer_matches_single(rng):
