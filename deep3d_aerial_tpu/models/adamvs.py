@@ -36,6 +36,27 @@ from .cost_reg import CostRegNet2D, RedStep2
 from .feature_net import FeatureNet
 
 
+class _PairBranch(nn.Module):
+    """Per-source-view matching: warp + product correlation + 2D hourglass
+    -> (confidence, pair depth) at stage-1 resolution (adamvs.py:466-489)."""
+
+    norm: str = "group"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src_feat, rel, ref_feat, depths1):
+        H1, W1 = ref_feat.shape[:2]
+        warped = plane_sweep_warp(src_feat, rel, depths1, (H1, W1))
+        corr = (warped * ref_feat[None]).mean(-1)  # [D, H, W]
+        scores = CostRegNet2D(norm=self.norm, dtype=self.dtype, name="reg")(
+            jnp.transpose(corr, (1, 2, 0))
+        )  # [H, W, D]
+        prob = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        conf = prob.max(-1)
+        pair_depth = jnp.sum(prob * depths1[None, None, :], axis=-1)
+        return conf, pair_depth
+
+
 class AdaMVS(nn.Module):
     ndepths: Tuple[int, ...] = (48, 32, 8)
     depth_interval_ratios: Tuple[float, ...] = (4.0, 2.0, 1.0)
@@ -67,22 +88,20 @@ class AdaMVS(nn.Module):
         rel1 = rel_projs[0].astype(jnp.float32)
         depths1 = uniform_depth_samples(depth_min, depth_max, self.ndepths[0])
 
-        reg2d = CostRegNet2D(norm=self.norm, dtype=self.dtype, name="pair_reg")
-
-        def pair_view(src_feat, rel):
-            warped = plane_sweep_warp(src_feat, rel, depths1, (H1, W1))
-            corr = (warped * f1[0][None]).mean(-1)  # [D, H, W]
-            scores = reg2d(jnp.transpose(corr, (1, 2, 0)))  # [H, W, D]
-            prob = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-            conf = prob.max(-1)
-            pair_depth = jnp.sum(prob * depths1[None, None, :], axis=-1)
-            return conf, pair_depth
-
-        pair = [pair_view(f1[1 + v], rel1[v]) for v in range(f1.shape[0] - 1)]
-        view_weights = jnp.stack([c for c, _ in pair])  # [V-1, H1, W1]
-        pair_depths = jnp.stack([d for _, d in pair])
-        # view_weights are the fixed aggregation weights for all stages
-        # (reference reuses stage-1 pair confidences, adamvs.py:291-302)
+        # one vmapped pair branch over source views (shared params) —
+        # unrolling V-1 copies of the 2D hourglass multiplies compile time
+        VmapPair = nn.vmap(
+            _PairBranch,
+            in_axes=(0, 0, None, None),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )
+        view_weights, pair_depths = VmapPair(
+            norm=self.norm, dtype=self.dtype, name="pair_reg",
+        )(f1[1:], rel1, f1[0], depths1)
+        # view_weights [V-1, H1, W1] are the fixed aggregation weights for
+        # all stages (reference reuses stage-1 pair confs, adamvs.py:291-302)
 
         # ---- streaming cascade -------------------------------------------
         depth = None

@@ -155,9 +155,28 @@ class AerialPipeline:
                 write_pfm(_join(self.mvs_path, f"{s.ref_name}_prob.pfm"), conf[k])
                 tf.write_mvs_cam(_join(self.mvs_path, f"{s.ref_name}.txt"),
                                  s.ref_cam)
+                if cfg.display_depth:
+                    self._save_depth_preview(s.ref_name, depth[k], conf[k])
             print(f"[mvs] {[s.ref_name for s in samples[:len(idxs)]]}: "
                   f"{time.time() - t0:.2f}s")
         loader.shutdown()
+
+    def _save_depth_preview(self, name: str, depth: np.ndarray,
+                            conf: np.ndarray) -> None:
+        """Color previews of depth + confidence (reference display block,
+        predict.py:143-176)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        color_dir = _join(self.mvs_path, "color")
+        os.makedirs(color_dir, exist_ok=True)
+        d = depth.copy()
+        d[~np.isfinite(d)] = np.nanmin(d[np.isfinite(d)]) if np.isfinite(d).any() else 0
+        plt.imsave(_join(color_dir, f"{name}_init.png"), -d, cmap="viridis")
+        plt.imsave(_join(color_dir, f"{name}_prob.png"),
+                   np.nan_to_num(conf).clip(0, 1), cmap="magma")
 
     def _load_params(self, model, sample):
         import jax
