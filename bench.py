@@ -44,7 +44,13 @@ def main():
     n_short = int(os.environ.get("BENCH_SHORT", "1"))
     n_long = int(os.environ.get("BENCH_LONG", "6"))
 
-    model = build_model("adamvs", ndepths=(48, 32, 8), num_depth=384)
+    import jax.numpy as _jnp
+
+    dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "float32")
+    ]
+    model = build_model("adamvs", ndepths=(48, 32, 8), num_depth=384,
+                        dtype=dtype)
     imgs, rel = _example_inputs(V=V, H=H, W=W)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
 

@@ -68,7 +68,13 @@ class WHUOMVSDataset:
         max_w: int = 0,
         num_stages: int = 3,
         with_normals: bool = False,
+        gt_format: str = "exr_mask",
+        augment: bool = False,
+        seed: int = 0,
     ):
+        """gt_format: 'exr_mask' (WHU-OMVS: EXR depth + PNG mask),
+        'pfm' (DTU/BlendedMVS-style PFM depth, cas_whu_omvs.py:438-440),
+        'png64' (WHU-MVS 16-bit PNG depth / 64, :436-437)."""
         self.data_folder = data_folder
         self.view_num = view_num
         self.normalize = normalize
@@ -76,6 +82,9 @@ class WHUOMVSDataset:
         self.max_w = max_w
         self.num_stages = num_stages
         self.with_normals = with_normals
+        self.gt_format = gt_format
+        self.augment = augment
+        self._aug_rng = np.random.default_rng(seed)
 
         self.samples: List[Tuple[str, int, List[int], Dict[int, str]]] = []
         index_path = os.path.join(data_folder, "index.txt")
@@ -99,6 +108,47 @@ class WHUOMVSDataset:
 
     def _scene_path(self, scene, sub, name, ext):
         return os.path.join(self.data_folder, scene, sub, name + ext)
+
+    def _read_gt_depth(self, scene, ref_base, cv2):
+        if self.gt_format == "exr_mask":
+            depth = cv2.imread(
+                self._scene_path(scene, "depths", ref_base, ".exr"),
+                cv2.IMREAD_UNCHANGED,
+            )
+            if depth is None:
+                raise FileNotFoundError(
+                    self._scene_path(scene, "depths", ref_base, ".exr")
+                )
+            if depth.ndim == 3:
+                depth = depth[..., 0]
+            mask_img = cv2.imread(
+                self._scene_path(scene, "masks", ref_base, ".png"),
+                cv2.IMREAD_GRAYSCALE,
+            )
+            mask = (
+                (mask_img.astype(np.float32) / 255.0) > 0.5
+                if mask_img is not None
+                else depth > 0
+            )
+        elif self.gt_format == "pfm":
+            from ..io.pfm import read_pfm
+
+            depth = read_pfm(
+                self._scene_path(scene, "depths", ref_base, ".pfm")
+            )[0]
+            mask = depth > 0
+        elif self.gt_format == "png64":
+            raw = cv2.imread(
+                self._scene_path(scene, "depths", ref_base, ".png"),
+                cv2.IMREAD_UNCHANGED,
+            )
+            depth = raw.astype(np.float32) / 64.0
+            mask = depth > 0
+        else:
+            raise ValueError(f"unknown gt_format {self.gt_format!r}")
+        depth = depth.astype(np.float32)
+        depth[~mask] = 0.0
+        return depth, mask
 
     def build(self, idx: int) -> TrainSample:
         import cv2
@@ -128,32 +178,16 @@ class WHUOMVSDataset:
             P = pose.T_cw.copy()
             P[:3, :4] = K @ P[:3, :4]
             projs.append(P)
+            if self.augment:
+                from ..pipeline.augment import random_photometric
+
+                img = random_photometric(img.astype(np.uint8), self._aug_rng)
             imgs.append(preprocess.center_image(img, self.normalize))
             if v == 0:
                 dmin, dmax = d0, d1
 
         ref_base = os.path.splitext(ref_name)[0]
-        depth = cv2.imread(
-            self._scene_path(scene, "depths", ref_base, ".exr"),
-            cv2.IMREAD_UNCHANGED,
-        )
-        if depth is None:
-            raise FileNotFoundError(
-                self._scene_path(scene, "depths", ref_base, ".exr")
-            )
-        if depth.ndim == 3:
-            depth = depth[..., 0]
-        mask_img = cv2.imread(
-            self._scene_path(scene, "masks", ref_base, ".png"),
-            cv2.IMREAD_GRAYSCALE,
-        )
-        mask = (
-            (mask_img.astype(np.float32) / 255.0) > 0.5
-            if mask_img is not None
-            else depth > 0
-        )
-        depth = depth.astype(np.float32)
-        depth[~mask] = 0.0
+        depth, mask = self._read_gt_depth(scene, ref_base, cv2)
 
         H, W = imgs[0].shape[:2]
         depth = depth[:H, :W]

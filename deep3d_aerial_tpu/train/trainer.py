@@ -147,10 +147,12 @@ class Trainer:
         val_batches_fn: Optional[Callable[[], Iterable]] = None,
     ):
         os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
+        record_path = os.path.join(self.cfg.ckpt_dir, "train_record.txt")
         for epoch in range(self.epoch, self.cfg.epochs):
             self.epoch = epoch
             train_logs = self.train_epoch(train_batches_fn())
             abs_err = None
+            val = {}
             if val_batches_fn is not None:
                 val = self.evaluate(val_batches_fn())
                 abs_err = val.get("abs_error")
@@ -158,4 +160,8 @@ class Trainer:
             ckpt.save_checkpoint(
                 self.cfg.ckpt_dir, epoch, self.params, self.opt_state, abs_err
             )
+            # per-epoch append log (reference train_record.txt,
+            # train_whu.py:209-211)
+            with open(record_path, "a") as f:
+                f.write(f"epoch {epoch} train {train_logs} val {val}\n")
         return self.params
