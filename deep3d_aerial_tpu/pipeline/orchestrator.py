@@ -44,9 +44,11 @@ def _join(*parts):
 
 
 class AerialPipeline:
-    def __init__(self, workspace: str, config: PipelineConfig):
+    def __init__(self, workspace: str, config: PipelineConfig,
+                 data_folder: Optional[str] = None):
         self.ws = workspace
         self.cfg = config
+        self.data_folder = data_folder
 
         self.sparse_path = _join(workspace, "sparse")
         self.export_path = _join(workspace, "export")
@@ -61,9 +63,33 @@ class AerialPipeline:
                   self.production_path):
             os.makedirs(p, exist_ok=True)
 
+    def _ensure_image_paths(self) -> None:
+        """Build export/image_path.txt from the data folder when absent,
+        matching COLMAP image names to files (reference --data_folder flow,
+        run.py:287-294)."""
+        out = _join(self.export_path, "image_path.txt")
+        if os.path.exists(out) or self.data_folder is None:
+            return
+        from ..sparse import colmap
+
+        _, images, _ = colmap.read_model(self.sparse_path)
+        entries = []
+        for im in sorted(images.values(), key=lambda v: v.id):
+            path = _join(self.data_folder, im.name)
+            if not os.path.exists(path):
+                base = os.path.splitext(im.name)[0]
+                for ext in (self.cfg.fext, ".png", ".jpg", ".jpeg", ".tif"):
+                    cand = _join(self.data_folder, base + ext)
+                    if os.path.exists(cand):
+                        path = cand
+                        break
+            entries.append((im.id, im.name, os.path.abspath(path)))
+        tf.write_image_paths(out, entries)
+
     # ---------------- stage 1: view selection -------------------------
     def select_view(self) -> None:
         cfg = self.cfg
+        self._ensure_image_paths()
         export_predef(self.sparse_path, self.export_path)
 
         from ..sparse import colmap

@@ -198,3 +198,20 @@ def test_production_copy(pipeline, workspace):
     prod = workspace / "production"
     assert any((prod / "Point_Cloud").iterdir())
     assert any((prod / "DSM").iterdir())
+
+
+def test_ensure_image_paths_from_data_folder(workspace, tmp_path):
+    """--data_folder flow: image_path.txt is built from COLMAP names."""
+    import shutil
+
+    from deep3d_aerial_tpu.pipeline.config import PipelineConfig
+    from deep3d_aerial_tpu.pipeline.orchestrator import AerialPipeline
+
+    ws2 = tmp_path / "ws2"
+    shutil.copytree(workspace / "sparse", ws2 / "sparse")
+    pipe = AerialPipeline(str(ws2), PipelineConfig(),
+                          data_folder=str(workspace / "images"))
+    pipe._ensure_image_paths()
+    paths, names = tf.read_image_paths(ws2 / "export" / "image_path.txt")
+    assert len(paths) == N_GRID * N_GRID
+    assert all(os.path.exists(p) for p in paths.values())
