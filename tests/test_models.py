@@ -131,3 +131,21 @@ def test_cascade_refines_toward_gt(rng):
     out1 = model.apply(params, imgs, projs, DMIN, DMAX)["depth"]
     out2 = model.apply(params, imgs, projs, DMIN + 15.0, DMAX + 15.0)["depth"]
     assert not np.allclose(out1, out2, atol=0.5)
+
+
+def test_window_confidence_matches_naive(rng):
+    """4-window probability-sum confidence vs a direct per-pixel loop
+    (reference head, cas_mvsnet.py:72-76)."""
+    from deep3d_aerial_tpu.models.cascade import window_confidence
+
+    D, h, w = 10, 6, 7
+    scores = rng.normal(size=(D, h, w)).astype(np.float32)
+    prob = np.exp(scores) / np.exp(scores).sum(0, keepdims=True)
+    out = np.asarray(window_confidence(jnp.asarray(prob)))
+
+    padded = np.pad(prob, ((1, 2), (0, 0), (0, 0)))
+    for y in range(h):
+        for x in range(w):
+            idx = int(np.clip((prob[:, y, x] * np.arange(D)).sum(), 0, D - 1))
+            expected = padded[idx:idx + 4, y, x].sum()
+            assert np.isclose(out[y, x], expected, atol=1e-5), (y, x)
