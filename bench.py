@@ -49,7 +49,8 @@ def main():
     dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "float32")
     ]
-    model = build_model("adamvs", ndepths=(48, 32, 8), num_depth=384,
+    model_name = os.environ.get("BENCH_MODEL", "adamvs")
+    model = build_model(model_name, ndepths=(48, 32, 8), num_depth=384,
                         dtype=dtype)
     imgs, rel = _example_inputs(V=V, H=H, W=W)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
@@ -87,7 +88,7 @@ def main():
     baseline_rate = ref_full_rate * scale
 
     print(json.dumps({
-        "metric": f"adamvs_depth_maps_per_s_{V}view_384depth_{H}x{W}",
+        "metric": f"{model_name}_depth_maps_per_s_{V}view_384depth_{H}x{W}",
         "value": round(maps_per_s, 4),
         "unit": "depth_maps/s/chip",
         "vs_baseline": round(maps_per_s / baseline_rate, 3),
