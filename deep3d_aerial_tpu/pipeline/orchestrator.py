@@ -323,7 +323,10 @@ class AerialPipeline:
 
     # ---------------- stage 4: mesh -----------------------------------
     def create_mesh(self) -> List[str]:
+        """ReconstructMesh + RefineMesh equivalents per fused block
+        (reference run_mesh pipeline, createmesh.py:145-172)."""
         from ..mesh import MeshConfig, create_mesh_from_ply
+        from ..mesh.refine import RefineConfig, refine_mesh_file
 
         cfg = self.cfg
         out = []
@@ -339,6 +342,15 @@ class AerialPipeline:
                     decimate_ratio=cfg.recons_decimate_ratio,
                 ),
             )
+            if cfg.refine_scale_times > 0:
+                refined = _join(
+                    self.mesh_path, fname.replace(".ply", "_mesh_refine.ply")
+                )
+                refine_mesh_file(dst, refined, RefineConfig(
+                    iterations=10 * int(cfg.refine_scale_times),
+                    decimate_ratio=cfg.refine_decimate_ratio,
+                ))
+                dst = refined
             out.append(dst)
             print(f"[mesh] {dst}")
         return out

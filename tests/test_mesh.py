@@ -60,3 +60,49 @@ def test_create_mesh_from_ply(tmp_path, rng):
     assert len(v2) == len(verts) and len(f2) == len(faces)
     # mesh surface approximates z = 0.1x
     assert np.abs(v2[:, 2] - 0.1 * v2[:, 0]).max() < 1e-4
+
+
+def test_taubin_smooth_reduces_noise(rng):
+    from deep3d_aerial_tpu.mesh.refine import RefineConfig, taubin_smooth
+
+    pts = grid_points(25, 1.0)
+    noisy = pts + rng.normal(0, 0.2, pts.shape).astype(np.float32) * np.array(
+        [0, 0, 1], np.float32)  # z noise only
+    verts, faces, _ = delaunay_mesh_25d(noisy, MeshConfig(insert_distance=0.9))
+    smoothed = taubin_smooth(verts, faces, RefineConfig(iterations=20))
+    # interior roughness (z std) drops
+    z_before = np.std(verts[:, 2])
+    z_after = np.std(smoothed[:, 2])
+    assert z_after < z_before * 0.7
+    # xy positions barely move
+    assert np.abs(smoothed[:, :2] - verts[:, :2]).max() < 0.8  # boundary pull-in
+
+
+def test_decimate_mesh(rng):
+    from deep3d_aerial_tpu.mesh.refine import decimate_mesh
+
+    pts = grid_points(30, 1.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=0.9))
+    dv, df, _ = decimate_mesh(verts, faces, 0.25)
+    assert len(dv) < len(verts) * 0.6
+    assert len(df) > 0
+    assert df.max() < len(dv)
+    # all faces non-degenerate
+    assert ((df[:, 0] != df[:, 1]) & (df[:, 1] != df[:, 2])
+            & (df[:, 0] != df[:, 2])).all()
+
+
+def test_refine_mesh_file(tmp_path, rng):
+    from deep3d_aerial_tpu.mesh.refine import RefineConfig, refine_mesh_file
+    from deep3d_aerial_tpu.mesh.trimesh_io import read_mesh_ply, write_mesh_ply
+
+    pts = grid_points(20, 1.0, z_fn=lambda x, y: 0.05 * x)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=0.9))
+    src = tmp_path / "m.ply"
+    dst = tmp_path / "r.ply"
+    write_mesh_ply(src, verts, faces)
+    rv, rf = refine_mesh_file(src, dst, RefineConfig(iterations=5,
+                                                     decimate_ratio=0.5))
+    assert dst.exists()
+    v2, f2 = read_mesh_ply(dst)
+    assert len(v2) == len(rv) and len(f2) == len(rf)
