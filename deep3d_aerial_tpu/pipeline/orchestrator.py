@@ -351,9 +351,41 @@ class AerialPipeline:
                     decimate_ratio=cfg.refine_decimate_ratio,
                 ))
                 dst = refined
+            views = self._texture_views()
+            if views:
+                from ..mesh.texture import texture_mesh_file
+
+                textured = _join(
+                    self.mesh_path,
+                    fname.replace(".ply", "_mesh_refine_texture.ply"),
+                )
+                texture_mesh_file(dst, textured, views)
+                dst = textured
             out.append(dst)
             print(f"[mesh] {dst}")
         return out
+
+    def _texture_views(self):
+        """TextureViews from the MVS per-view cam artifacts + source images."""
+        from PIL import Image
+
+        from ..mesh.texture import TextureView
+
+        views = []
+        for fname in sorted(os.listdir(self.mvs_path)):
+            if not fname.endswith(".txt"):
+                continue
+            cam = tf.read_mvs_cam(_join(self.mvs_path, fname))
+            if not (cam.image_path and os.path.exists(cam.image_path)):
+                continue
+            img = Image.open(cam.image_path).convert("RGB")
+            if img.size != (cam.width, cam.height):
+                img = img.resize((cam.width, cam.height))
+            views.append(TextureView(
+                geom=ViewGeometry.create(cam.K, cam.T_cw),
+                image=np.asarray(img),
+            ))
+        return views
 
     # ---------------- stage 5: DSM ------------------------------------
     def create_dsm(self) -> Optional[str]:

@@ -106,3 +106,47 @@ def test_refine_mesh_file(tmp_path, rng):
     assert dst.exists()
     v2, f2 = read_mesh_ply(dst)
     assert len(v2) == len(rv) and len(f2) == len(rf)
+
+
+def test_texture_vertices_best_view(rng):
+    """Vertices take the color of the view that actually sees them."""
+    from deep3d_aerial_tpu.fusion.consistency import ViewGeometry
+    from deep3d_aerial_tpu.mesh.texture import TextureView, texture_vertices
+    from tests.conftest import toy_camera
+    from deep3d_aerial_tpu.geometry.camera import Pose
+
+    # flat mesh at z=0
+    pts = grid_points(10, 2.0)
+    from deep3d_aerial_tpu.mesh import MeshConfig, delaunay_mesh_25d
+
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.8))
+
+    cam = toy_camera(width=64, height=48, f=40.0)
+    R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    center = np.array([9.0, 9.0, 30.0])
+    pose = Pose(R_down, -R_down @ center)
+    geom = ViewGeometry.create(cam.K, pose.T_cw)
+
+    red = np.zeros((48, 64, 3), np.uint8)
+    red[..., 0] = 200
+    views = [TextureView(geom=geom, image=red)]
+
+    colors = texture_vertices(verts, faces, views,
+                              fallback_colors=np.zeros((len(verts), 3)))
+    # vertices inside the frustum become red; any outside stay fallback
+    uv, z = pose.world_to_image(cam.K, verts)
+    inside = (uv[:, 0] >= 0) & (uv[:, 0] <= 63) & (uv[:, 1] >= 0) & (uv[:, 1] <= 47)
+    assert inside.sum() > 5
+    assert (colors[inside, 0] == 200).all()
+    assert (colors[~inside] == 0).all()
+
+
+def test_vertex_normals_flat():
+    from deep3d_aerial_tpu.mesh import MeshConfig, delaunay_mesh_25d
+    from deep3d_aerial_tpu.mesh.texture import vertex_normals
+
+    pts = grid_points(8, 1.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=0.9))
+    n = vertex_normals(verts, faces)
+    assert np.allclose(np.abs(n[:, 2]), 1.0, atol=1e-5)
+    assert (n[:, 2] > 0).all()  # upward-oriented
