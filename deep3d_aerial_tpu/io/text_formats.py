@@ -147,6 +147,28 @@ def write_image_paths(path, entries: Sequence[Tuple[int, str, str]]) -> None:
 
 
 # ---------------------------------------------------------------------------
+# center offset txt : "X\nY\nZ" (reference params_io.py:119-137,465-475)
+# ---------------------------------------------------------------------------
+
+
+def read_center_offset(path) -> np.ndarray:
+    vals = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                vals.append(float(line.split()[0]))
+    return np.asarray(vals, dtype=np.float64)
+
+
+def write_center_offset(path, offset: Sequence[float]) -> None:
+    with open(path, "w") as f:
+        f.write("# Center offset\n")
+        for v in offset:
+            f.write(f"{v}\n")
+
+
+# ---------------------------------------------------------------------------
 # viewpair.txt : N, then per ref view: "ref_id" newline "k src score src score …"
 # ---------------------------------------------------------------------------
 

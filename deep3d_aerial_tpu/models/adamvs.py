@@ -27,7 +27,7 @@ from ..ops.depth_samplers import (
     uniform_depth_samples,
     window_depth_samples,
 )
-from ..ops.warp import plane_sweep_warp
+from ..ops.warp import plane_sweep_warp_single
 from .cascade import (
     soft_argmax_depth,
     streaming_sweep,
@@ -46,8 +46,18 @@ class _PairBranch(nn.Module):
     @nn.compact
     def __call__(self, src_feat, rel, ref_feat, depths1):
         H1, W1 = ref_feat.shape[:2]
-        warped = plane_sweep_warp(src_feat, rel, depths1, (H1, W1))
-        corr = (warped * ref_feat[None]).mean(-1)  # [D, H, W]
+
+        # stream the [D, H, W] correlation volume plane-by-plane: one full
+        # warp makes [D*H*W, C] gather buffers that XLA lane-pads 4x (OOM
+        # at production sizes)
+        def corr_plane(d):
+            w = plane_sweep_warp_single(src_feat, rel, d, (H1, W1))
+            return (w * ref_feat).mean(-1)
+
+        corr = jax.lax.map(
+            corr_plane,
+            jnp.broadcast_to(depths1[:, None, None], (depths1.shape[0], H1, W1)),
+        )  # [D, H, W]
         scores = CostRegNet2D(norm=self.norm, dtype=self.dtype, name="reg")(
             jnp.transpose(corr, (1, 2, 0))
         )  # [H, W, D]

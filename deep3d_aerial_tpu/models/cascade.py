@@ -23,26 +23,26 @@ def variance_cost_volume(
     feats  [V, H, W, C], rel [V-1, 4, 4] (src_P @ inv(ref_P), host-precomputed
     in float64 — geometry.camera.relative_projections), depths [D] or
     [D, H, W] -> [D, H, W, C] = E[f^2] - E[f]^2 over the V warped features
-    (reference cas_mvsnet.py:45-60). Accumulated view-by-view to keep only
-    two volumes live.
+    (reference cas_mvsnet.py:45-60).
+
+    Built PLANE-BY-PLANE (lax.map over D): a full-volume warp materializes
+    [D*H*W, C] gather buffers that XLA lane-pads 4x for C=32 (measured
+    18 GB at 768x1024 stage 1 — HBM OOM); per-plane gathers keep the live
+    intermediates at [H*W, C].
     """
-    V = feats.shape[0]
     rel = rel.astype(jnp.float32)
     ref = feats[0]
-    D = depths.shape[0]
-    ref_vol = jnp.broadcast_to(ref[None], (D, *ref.shape))
-    vol_sum = ref_vol
-    vol_sq = ref_vol * ref_vol
 
-    def body(carry, inputs):
-        vs, vq = carry
-        feat, r = inputs
-        w = plane_sweep_warp(feat, r, depths, ref.shape[:2])
-        return (vs + w, vq + w * w), None
+    if depths.ndim == 1:
+        depths_hw = jnp.broadcast_to(
+            depths[:, None, None], (depths.shape[0], *ref.shape[:2])
+        )
+    else:
+        depths_hw = depths
 
-    (vol_sum, vol_sq), _ = jax.lax.scan(body, (vol_sum, vol_sq), (feats[1:], rel))
-    mean = vol_sum / V
-    vol = vol_sq / V - mean * mean
+    vol = jax.lax.map(
+        lambda d: variance_cost_plane(ref, feats[1:], rel, d), depths_hw
+    )
     # under an active mesh, shard the depth-hypothesis axis ('sp'); the
     # downstream softmax over D then compiles to psum-merged partials
     from ..parallel.context import constrain
