@@ -22,8 +22,6 @@ def main():
 
     import os
 
-    import numpy as np
-
     from ..io import text_formats as tf
     from ..io.pfm import read_pfm
     from ..io.ply import write_ply

@@ -23,7 +23,7 @@ path receives already-canonical 4x4 projection matrices.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

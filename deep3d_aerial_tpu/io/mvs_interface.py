@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ equivalents) is the planned upgrade path behind the same API.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ photo-consistency refinement (OpenMVS's core) is the planned C++ upgrade.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

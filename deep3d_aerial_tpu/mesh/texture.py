@@ -11,7 +11,7 @@ atlas (per-face UV charts) is the planned C++ upgrade.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -28,10 +28,7 @@ from ..ops.depth_samplers import (
     window_depth_samples,
 )
 from ..ops.warp import plane_sweep_warp_single
-from .cascade import (
-    soft_argmax_depth,
-    streaming_sweep,
-)
+from .cascade import streaming_sweep
 from .cost_reg import CostRegNet2D, RedStep2
 from .feature_net import FeatureNet
 

@@ -13,7 +13,7 @@ selected via `norm='batch'` for strict-parity experiments.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -6,7 +6,7 @@ batching. Geometry stays float32; features may run in bfloat16.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,7 @@ Python plane loops, with O(H*W) state instead of O(D*H*W) volumes.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

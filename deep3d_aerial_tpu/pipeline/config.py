@@ -7,7 +7,7 @@ drive this pipeline unchanged.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import yaml
 

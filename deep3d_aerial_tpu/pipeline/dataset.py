@@ -12,11 +12,11 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 
-from ..geometry.camera import Camera, proj_matrix, stage_relative_projections
+from ..geometry.camera import proj_matrix, stage_relative_projections
 from ..io import text_formats as tf
 from . import preprocess
 

@@ -28,7 +28,6 @@ import numpy as np
 from ..dsm import DSMConfig, DSMFromMesh, DSMFromPointCloud
 from ..fusion import DepthFusion, FusionConfig, ViewGeometry
 from ..fusion.fuse import ViewData
-from ..geometry.camera import relative_projections
 from ..io import text_formats as tf
 from ..io.geotiff import write_geotiff, write_tfw
 from ..io.pfm import read_pfm, write_pfm

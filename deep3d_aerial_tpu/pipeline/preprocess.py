@@ -8,8 +8,7 @@ than (max_h, max_w), intrinsics adjusted accordingly; normalization modes
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

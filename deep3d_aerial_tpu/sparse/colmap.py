@@ -20,11 +20,11 @@ import dataclasses
 import os
 import sqlite3
 import struct
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from ..geometry.camera import qvec2rotmat  # noqa: F401  (re-exported for callers)
+from ..geometry.camera import qvec2rotmat  # noqa: F401 — re-exported: callers use sparse.colmap.qvec2rotmat
 
 # model_id -> (name, num_params)
 CAMERA_MODELS = {

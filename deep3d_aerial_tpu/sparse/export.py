@@ -9,7 +9,7 @@ XrightYup/Rwc/twc in images.txt (handled canonically by the Pose class).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

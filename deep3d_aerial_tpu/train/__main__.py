@@ -6,8 +6,6 @@ Capability parity with /root/reference/mvs/mvs_cas/train_whu.py:24-57
 
 import argparse
 
-import numpy as np
-
 
 def main():
     ap = argparse.ArgumentParser(description="Train cascade MVS networks")

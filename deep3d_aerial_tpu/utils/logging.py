@@ -7,7 +7,6 @@ import os
 import sys
 import time
 from datetime import datetime
-from typing import Optional
 
 
 class _Tee:
