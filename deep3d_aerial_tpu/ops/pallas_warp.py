@@ -57,12 +57,14 @@ def _warp_corr_kernel(
     copy.start()
 
     # projective coordinates of this ref tile at its depth plane
+    # Mosaic iota must be integer-typed; cast after
     ys = (ti * TH).astype(jnp.float32) + jax.lax.broadcasted_iota(
-        jnp.float32, (TH, TW), 0)
+        jnp.int32, (TH, TW), 0).astype(jnp.float32)
     xs = (tj * TW).astype(jnp.float32) + jax.lax.broadcasted_iota(
-        jnp.float32, (TH, TW), 1)
+        jnp.int32, (TH, TW), 1).astype(jnp.float32)
     d = depths_ref[...]
-    r = rel_ref[0, :]
+    # SMEM only serves scalar loads (Mosaic) — read coefficients one by one
+    r = [rel_ref[0, k] for k in range(12)]
     px = (r[0] * xs + r[1] * ys + r[2]) * d + r[3]
     py = (r[4] * xs + r[5] * ys + r[6]) * d + r[7]
     pz = (r[8] * xs + r[9] * ys + r[10]) * d + r[11]
@@ -76,9 +78,9 @@ def _warp_corr_kernel(
     P = TH * TW
     lx = (x_src - win_x0.astype(jnp.float32)).reshape(P, 1)
     ly = (y_src - win_y0.astype(jnp.float32)).reshape(P, 1)
-    wxs = jax.lax.broadcasted_iota(jnp.float32, (P, WIN_W), 1)
+    wxs = jax.lax.broadcasted_iota(jnp.int32, (P, WIN_W), 1).astype(jnp.float32)
     Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - wxs))  # [P, WIN_W]
-    wys = jax.lax.broadcasted_iota(jnp.float32, (P, WIN_H), 1)
+    wys = jax.lax.broadcasted_iota(jnp.int32, (P, WIN_H), 1).astype(jnp.float32)
     Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - wys))  # [P, WIN_H]
 
     copy.wait()
