@@ -2,20 +2,25 @@
 
 The MVS hot loop samples source features at projectively-warped coordinates.
 Mosaic has no per-lane vector gather, so this kernel reformulates EXACT
-bilinear sampling as two separable one-hot contractions over a per-tile
-source WINDOW (bilinear weights w(t) = max(0, 1 - |x - t|) form a matmul
-against the window rows on the MXU):
+bilinear sampling as separable one-hot contractions over a per-tile source
+WINDOW (bilinear weights w(t) = max(0, 1 - |x - t|) form a matmul against
+the window rows on the MXU):
 
-    t[p, wy, c] = sum_wx Ax[p, wx] * win[wy, wx, c]        (MXU)
-    out[p, c]   = sum_wy Ay[p, wy] * t[p, wy, c]           (VPU)
+    t[wy*C + c, p] = sum_wx win_t[wx, wy*C + c] * AxT[wx, p]     (MXU)
+    out[p]         = sum_c ref_t[c, p] * sum_wy ay_wy[p] * t_wy[c, p]
 
-Per grid tile, the source window is DMA'd HBM->VMEM with a dynamic origin
-(pl.ds starts from a scalar-prefetched per-tile table computed in-graph from
-the projected tile centers). Pixels whose footprint escapes the window fall
-to zero — exact grid_sample-'zeros' semantics whenever the window covers the
-tile footprint, which narrow refinement-stage depth windows guarantee
-(docs/PERF.md design). The XLA gather path (ops/warp.py) is the oracle and
-general fallback.
+Mosaic-friendliness drives the layout:
+  * the source is pre-transposed ONCE per plane to [W, H*C] so the window
+    DMA (dynamic origins from a scalar-prefetched table) lands directly in
+    matmul layout [WIN_W, WIN_H*C] — no in-kernel transposes;
+  * all flattenings collapse INTO the lane dimension ([TH, TW] -> [1, P]),
+    never out of it (minor-dim-shrinking casts are unsupported);
+  * the y-contraction is a static unrolled loop of [C, P] slices.
+
+Pixels whose footprint escapes the window fall to zero — exact
+grid_sample-'zeros' semantics whenever the window covers the tile footprint,
+which narrow refinement-stage depth windows guarantee (docs/PERF.md). The
+XLA gather path (ops/warp.py) is the oracle and general fallback.
 """
 
 from __future__ import annotations
@@ -33,10 +38,10 @@ def _warp_corr_kernel(
     origins_ref,   # scalar prefetch [nTiles, 2] (win_y0, win_x0) int32
     rel_ref,       # [1, 12] SMEM
     depths_ref,    # [TH, TW] ref-tile depth plane (VMEM block)
-    ref_tile_ref,  # [TH, TW, C] (VMEM block)
-    src_ref,       # [H, W, C] full source, stays in HBM/ANY
-    out_ref,       # [TH, TW] (VMEM block)
-    win_scratch,   # [WIN_H, WIN_W, C] VMEM scratch
+    ref_t_ref,     # [C, TH, TW] channel-major ref tile (VMEM block)
+    src_t_ref,     # [W, H*C] transposed source, stays in HBM/ANY
+    out_ref,       # [1, P] output row (VMEM block)
+    win_scratch,   # [WIN_W, WIN_H*C] VMEM scratch
     dma_sem,
     *,
     TH: int, TW: int, WIN_H: int, WIN_W: int, C: int,
@@ -48,22 +53,21 @@ def _warp_corr_kernel(
     win_y0 = origins_ref[tile_idx, 0]
     win_x0 = origins_ref[tile_idx, 1]
 
-    # source window DMA with dynamic element offsets
+    # window DMA: rows = src x, lanes = (y, c) packed -> [WIN_W, WIN_H*C]
     copy = pltpu.make_async_copy(
-        src_ref.at[pl.ds(win_y0, WIN_H), pl.ds(win_x0, WIN_W), :],
+        src_t_ref.at[pl.ds(win_x0, WIN_W), pl.ds(win_y0 * C, WIN_H * C)],
         win_scratch,
         dma_sem,
     )
     copy.start()
 
     # projective coordinates of this ref tile at its depth plane
-    # Mosaic iota must be integer-typed; cast after
     ys = (ti * TH).astype(jnp.float32) + jax.lax.broadcasted_iota(
         jnp.int32, (TH, TW), 0).astype(jnp.float32)
     xs = (tj * TW).astype(jnp.float32) + jax.lax.broadcasted_iota(
         jnp.int32, (TH, TW), 1).astype(jnp.float32)
     d = depths_ref[...]
-    # SMEM only serves scalar loads (Mosaic) — read coefficients one by one
+    # SMEM serves scalar loads only — read coefficients one by one
     r = [rel_ref[0, k] for k in range(12)]
     px = (r[0] * xs + r[1] * ys + r[2]) * d + r[3]
     py = (r[4] * xs + r[5] * ys + r[6]) * d + r[7]
@@ -76,25 +80,36 @@ def _warp_corr_kernel(
     )
 
     P = TH * TW
-    lx = (x_src - win_x0.astype(jnp.float32)).reshape(P, 1)
-    ly = (y_src - win_y0.astype(jnp.float32)).reshape(P, 1)
-    wxs = jax.lax.broadcasted_iota(jnp.int32, (P, WIN_W), 1).astype(jnp.float32)
-    Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - wxs))  # [P, WIN_W]
-    wys = jax.lax.broadcasted_iota(jnp.int32, (P, WIN_H), 1).astype(jnp.float32)
-    Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - wys))  # [P, WIN_H]
+    # lane-collapse only: [TH, TW] -> [1, P]
+    lx = (x_src - win_x0.astype(jnp.float32)).reshape(1, P)
+    ly = (y_src - win_y0.astype(jnp.float32)).reshape(1, P)
+    inb_row = inb.astype(jnp.float32).reshape(1, P)  # i1 lane-collapse unsupported
+
+    wxs = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, 1), 0).astype(jnp.float32)
+    AxT = jnp.maximum(0.0, 1.0 - jnp.abs(lx - wxs))  # [WIN_W, P]
 
     copy.wait()
-    win = win_scratch[...]  # [WIN_H, WIN_W, C]
+    win_t = win_scratch[...]  # [WIN_W, WIN_H*C]
 
-    # x-contraction on the MXU: [P, WIN_W] @ [WIN_W, WIN_H*C]
-    win_t = jnp.transpose(win, (1, 0, 2)).reshape(WIN_W, WIN_H * C)
-    t = jnp.dot(Ax, win_t, preferred_element_type=jnp.float32)
-    t = t.reshape(P, WIN_H, C)
-    sampled = jnp.sum(Ay[:, :, None] * t, axis=1)  # [P, C]  (VPU)
-    sampled = sampled * inb.reshape(P, 1).astype(jnp.float32)
+    # x-contraction on the MXU (contract the shared WIN_W dim):
+    # [WIN_W, WIN_H*C] x [WIN_W, P] -> [WIN_H*C, P]
+    t = jax.lax.dot_general(
+        win_t, AxT,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    ref_tile = ref_tile_ref[...].reshape(P, C)
-    out_ref[...] = jnp.mean(sampled * ref_tile, axis=-1).reshape(TH, TW)
+    # y-contraction: static unrolled sum of ay-weighted [C, P] slices
+    acc = jnp.zeros((C, P), jnp.float32)
+    for wy in range(WIN_H):
+        ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - float(wy)))  # [1, P]
+        acc = acc + ay * t[wy * C:(wy + 1) * C, :]
+
+    ref_t = ref_t_ref[...].reshape(C, P)  # lane-collapse
+    corr = jnp.sum(ref_t * acc, axis=0, keepdims=True) * inb_row / C
+    # out block covers 8 consecutive tiles (sublane-divisibility rule);
+    # write this tile's row dynamically
+    out_ref[pl.ds(tile_idx % 8, 1), :] = corr
 
 
 def window_origins(
@@ -139,12 +154,17 @@ def warp_corr_plane_pallas(
     WIN_H, WIN_W = min(window[0], H), min(window[1], W)
     assert H % TH == 0 and W % TW == 0, (H, W, tile)
     n_th, n_tw = H // TH, W // TW
+    P = TH * TW
 
-    d_hw = jnp.broadcast_to(
-        jnp.asarray(depth_plane, jnp.float32), (H, W)
-    )
+    d_hw = jnp.broadcast_to(jnp.asarray(depth_plane, jnp.float32), (H, W))
     rel_flat = jnp.asarray(rel, jnp.float32).reshape(-1)[:12]
     origins = window_origins(rel_flat, d_hw, H, W, TH, TW, WIN_H, WIN_W)
+
+    # one-time layout transforms (XLA-side, fused/cheap):
+    src_t = jnp.transpose(src_feat.astype(jnp.float32), (1, 0, 2)).reshape(
+        W, H * C
+    )
+    ref_t = jnp.transpose(ref_feat.astype(jnp.float32), (2, 0, 1))  # [C, H, W]
 
     kernel = functools.partial(
         _warp_corr_kernel,
@@ -160,22 +180,32 @@ def warp_corr_plane_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TH, TW), lambda i, j, org: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, TW, C), lambda i, j, org: (i, j, 0),
+            pl.BlockSpec((C, TH, TW), lambda i, j, org: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # full src, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # src_t, manual DMA
         ],
-        out_specs=pl.BlockSpec((TH, TW), lambda i, j, org: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (8, P), lambda i, j, org: ((i * n_tw + j) // 8, 0),
+            memory_space=pltpu.VMEM,
+        ),
         scratch_shapes=[
-            pltpu.VMEM((WIN_H, WIN_W, C), jnp.float32),
+            pltpu.VMEM((WIN_W, WIN_H * C), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
-    return pl.pallas_call(
+    n_tiles_pad = ((n_th * n_tw + 7) // 8) * 8
+    flat = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles_pad, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(origins, rel_flat[None, :], d_hw, ref_feat.astype(jnp.float32),
-      src_feat.astype(jnp.float32))
+    )(origins, rel_flat[None, :], d_hw, ref_t, src_t)
+
+    # reassemble tiles -> [H, W] (XLA-side)
+    return (
+        flat[: n_th * n_tw]
+        .reshape(n_th, n_tw, TH, TW)
+        .transpose(0, 2, 1, 3)
+        .reshape(H, W)
+    )
