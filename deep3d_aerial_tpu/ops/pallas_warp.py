@@ -50,12 +50,15 @@ def _warp_corr_kernel(
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_idx = ti * n_tiles_w + tj
+    # origins are pre-quantized (x to 8 sublanes, y*C to 128 lanes); the
+    # hints let Mosaic prove DMA-offset divisibility
     win_y0 = origins_ref[tile_idx, 0]
-    win_x0 = origins_ref[tile_idx, 1]
+    win_x0 = pl.multiple_of(origins_ref[tile_idx, 1], 8)
+    win_y0c = pl.multiple_of(win_y0 * C, 128)
 
     # window DMA: rows = src x, lanes = (y, c) packed -> [WIN_W, WIN_H*C]
     copy = pltpu.make_async_copy(
-        src_t_ref.at[pl.ds(win_x0, WIN_W), pl.ds(win_y0 * C, WIN_H * C)],
+        src_t_ref.at[pl.ds(win_x0, WIN_W), pl.ds(win_y0c, WIN_H * C)],
         win_scratch,
         dma_sem,
     )
@@ -116,6 +119,7 @@ def window_origins(
     rel_flat: jnp.ndarray,  # [12]
     depths: jnp.ndarray,    # [H, W]
     H: int, W: int, TH: int, TW: int, WIN_H: int, WIN_W: int,
+    C: int = 32,
 ) -> jnp.ndarray:
     """Per-tile window origins centered on the projected tile centers,
     clamped inside the source image. [nTiles, 2] int32 (in-graph)."""
@@ -131,6 +135,11 @@ def window_origins(
     pz = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
     y0 = jnp.clip(jnp.round(py / pz - WIN_H / 2.0), 0, max(H - WIN_H, 0))
     x0 = jnp.clip(jnp.round(px / pz - WIN_W / 2.0), 0, max(W - WIN_W, 0))
+    # quantize so the in-kernel DMA offsets satisfy Mosaic tiling rules:
+    # x (sublane dim of the transposed src) to 8; y*C (lane dim) to 128
+    y_quant = max(1, 128 // max(C, 1))
+    y0 = jnp.floor(y0 / y_quant) * y_quant
+    x0 = jnp.floor(x0 / 8.0) * 8.0
     return jnp.stack([y0.reshape(-1), x0.reshape(-1)], -1).astype(jnp.int32)
 
 
@@ -158,7 +167,7 @@ def warp_corr_plane_pallas(
 
     d_hw = jnp.broadcast_to(jnp.asarray(depth_plane, jnp.float32), (H, W))
     rel_flat = jnp.asarray(rel, jnp.float32).reshape(-1)[:12]
-    origins = window_origins(rel_flat, d_hw, H, W, TH, TW, WIN_H, WIN_W)
+    origins = window_origins(rel_flat, d_hw, H, W, TH, TW, WIN_H, WIN_W, C)
 
     # one-time layout transforms (XLA-side, fused/cheap):
     src_t = jnp.transpose(src_feat.astype(jnp.float32), (1, 0, 2)).reshape(
