@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--logdir", default="checkpoints")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--optimizer", default="rmsprop")
+    ap.add_argument("--gt_format", default="exr_mask",
+                    choices=["exr_mask", "pfm", "png64"],
+                    help="GT depth format (WHU-OMVS / DTU-style / WHU-MVS)")
+    ap.add_argument("--augment", action="store_true",
+                    help="photometric augmentation on training views")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel devices (0 = single device)")
     args = ap.parse_args()
@@ -38,10 +43,12 @@ def main():
     train_ds = WHUOMVSDataset(
         args.data_folder, view_num=args.view_num,
         max_h=args.max_h, max_w=args.max_w,
+        gt_format=args.gt_format, augment=args.augment,
     )
     val_ds = (
         WHUOMVSDataset(args.val_folder, view_num=args.view_num,
-                       max_h=args.max_h, max_w=args.max_w)
+                       max_h=args.max_h, max_w=args.max_w,
+                       gt_format=args.gt_format)
         if args.val_folder else None
     )
     print(f"train samples: {len(train_ds)}"
