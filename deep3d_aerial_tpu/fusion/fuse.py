@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.csr import VisibilityCSR
 from .consistency import (
     ViewGeometry,
     backproject_to_world,
@@ -77,12 +78,17 @@ class FusedPoints:
     xyz: np.ndarray  # [N, 3]
     colors: np.ndarray  # [N, 3] uint8
     normals: np.ndarray  # [N, 3]
-    visibility: List[np.ndarray]  # per point: array of image ids seeing it
+    visibility: VisibilityCSR  # per point: image ids seeing it
 
 
 class DepthFusion:
     def __init__(self, config: FusionConfig = FusionConfig()):
         self.cfg = config
+        # consumption state persists across fuse_block calls, mirroring the
+        # reference's tmp/*_init.pfm rewriting which spans ALL scene blocks
+        # (fusion_3d_normal.py:417-419,505-511): views shared by overlapping
+        # blocks must not re-emit points already consumed by an earlier block.
+        self._work_depth: Dict[str, np.ndarray] = {}
         cos_th = normal_cos_threshold(config.normal_threshold_deg)
 
         def check_many(d_ref, n_ref_w, g_ref, d_srcs, n_srcs, g_srcs, prob_ref):
@@ -112,10 +118,15 @@ class DepthFusion:
         scene_range : optional [xmin, xmax, ymin, ymax, zmin, zmax] crop
         """
         cfg = self.cfg
-        # working depths carry cross-ref consumption + ref masking state
-        work_depth = {n: v.depth.copy() for n, v in views.items()}
+        # working depths carry cross-ref consumption + ref masking state;
+        # persisted on the instance so overlapping blocks deduplicate
+        work_depth = self._work_depth
+        for n, v in views.items():
+            if n not in work_depth:
+                work_depth[n] = v.depth.copy()
 
-        all_pts, all_colors, all_normals, all_vis = [], [], [], []
+        all_pts, all_colors, all_normals = [], [], []
+        all_vis_vals, all_vis_counts = [], []
 
         for ref_name, src_names in view_list:
             if ref_name not in views:
@@ -206,18 +217,23 @@ class DepthFusion:
             all_pts.append(pts)
             all_colors.append(colors)
             all_normals.append(normals)
-            for j in range(pts.shape[0]):
-                v = vis_sel[:, j]
-                all_vis.append(v[v > 0])
+            # CSR build, no per-point loop: transpose to [N, S+1] so the
+            # positive entries of each row concatenate in point order
+            cols = vis_sel.T
+            pos = cols > 0
+            all_vis_vals.append(cols[pos])
+            all_vis_counts.append(pos.sum(1).astype(np.int64))
 
         if not all_pts:
             return FusedPoints(
                 np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8),
-                np.zeros((0, 3), np.float32), [],
+                np.zeros((0, 3), np.float32),
+                VisibilityCSR(np.zeros(0, np.int32), np.zeros(0, np.int64)),
             )
         return FusedPoints(
             np.concatenate(all_pts).astype(np.float32),
             np.concatenate(all_colors),
             np.concatenate(all_normals).astype(np.float32),
-            all_vis,
+            VisibilityCSR(np.concatenate(all_vis_vals),
+                          np.concatenate(all_vis_counts)),
         )

@@ -71,12 +71,6 @@ def write_geotiff(
     )
     geo_off = add_extra(geokeys)
 
-    nodata_off = None
-    nodata_ascii = b""
-    if nodata is not None:
-        nodata_ascii = f"{nodata:g}".encode() + b"\x00"
-        nodata_off = add_extra(nodata_ascii)
-
     tags = [
         (256, _TYPE_LONG, 1, cols),  # ImageWidth
         (257, _TYPE_LONG, 1, rows),  # ImageLength
@@ -92,8 +86,16 @@ def write_geotiff(
         (33922, _TYPE_DOUBLE, 6, ("extra", tie_off)),  # ModelTiepoint
         (34735, _TYPE_SHORT, len(geokeys) // 2, ("extra", geo_off)),
     ]
-    if nodata_off is not None:
-        tags.append((42113, _TYPE_ASCII, len(nodata_ascii), ("extra", nodata_off)))
+    if nodata is not None:
+        nodata_ascii = f"{nodata:g}".encode() + b"\x00"
+        if len(nodata_ascii) <= 4:
+            # TIFF6 requires values that fit in 4 bytes to be stored INLINE
+            # in the value field (zero-padded), not behind an offset
+            inline = struct.unpack("<I", nodata_ascii.ljust(4, b"\x00"))[0]
+            tags.append((42113, _TYPE_ASCII, len(nodata_ascii), inline))
+        else:
+            tags.append((42113, _TYPE_ASCII, len(nodata_ascii),
+                         ("extra", add_extra(nodata_ascii))))
     tags.sort(key=lambda t: t[0])
 
     n = len(tags)

@@ -105,12 +105,20 @@ def _s(f, text: str):
 
 
 def _serialize_vertices(
-    X: np.ndarray, views: List[np.ndarray], confs: Optional[List[np.ndarray]]
+    X: np.ndarray, views, confs
 ) -> bytes:
-    """Vectorized vertex block: per point 12B X + 8B count + 8B per view."""
+    """Vectorized vertex block: per point 12B X + 8B count + 8B per view.
+
+    `views` is a VisibilityCSR or a sequence of per-point id arrays;
+    `confs` likewise (or None for all-zero confidences)."""
     n = len(X)
     X = np.ascontiguousarray(X, dtype="<f4")
-    counts = np.array([len(v) for v in views], dtype="<u8")
+    if hasattr(views, "counts"):  # CSR fast path — no per-point loops at all
+        counts = views.counts.astype("<u8")
+        flat_views_src = views.values
+    else:
+        counts = np.array([len(v) for v in views], dtype="<u8")
+        flat_views_src = None
     rec_sizes = 12 + 8 + 8 * counts
     offsets = np.concatenate([[0], np.cumsum(rec_sizes)]).astype(np.int64)
     buf = np.zeros(int(offsets[-1]), np.uint8)
@@ -122,19 +130,26 @@ def _serialize_vertices(
     idx = offsets[:-1, None] + 12 + np.arange(8)
     buf[idx] = counts.view(np.uint8).reshape(n, 8)
     # views + confidences interleaved
-    total_views = int(counts.sum())
+    counts_i = counts.astype(np.int64)
+    total_views = int(counts_i.sum())
     if total_views:
-        flat_views = np.concatenate(views).astype("<u4")
+        if flat_views_src is not None:
+            flat_views = flat_views_src.astype("<u4")
+        else:
+            flat_views = np.concatenate(views).astype("<u4")
         if confs is None:
             flat_confs = np.zeros(total_views, "<f4")
+        elif hasattr(confs, "values"):
+            flat_confs = confs.values.astype("<f4")
         else:
             flat_confs = np.concatenate(confs).astype("<f4")
         pair = np.empty((total_views, 8), np.uint8)
         pair[:, :4] = flat_views.view(np.uint8).reshape(-1, 4)
         pair[:, 4:] = flat_confs.view(np.uint8).reshape(-1, 4)
         # position of each view record
-        base = np.repeat(offsets[:-1] + 20, counts.astype(np.int64))
-        within = np.concatenate([np.arange(c) for c in counts]).astype(np.int64)
+        base = np.repeat(offsets[:-1] + 20, counts_i)
+        starts = np.concatenate([[0], np.cumsum(counts_i)[:-1]])
+        within = np.arange(total_views) - np.repeat(starts, counts_i)
         pos = base + 8 * within
         buf[pos[:, None] + np.arange(8)] = pair
     return buf.tobytes()
@@ -317,20 +332,20 @@ def scene_from_fusion(
             pose_id=pose_id, id=int(image_id),
         ))
 
-    # remap visibility image ids -> image indices in this scene
+    # remap visibility image ids -> image indices in this scene (vectorized)
     if image_id_to_index is None:
         image_id_to_index = {
             im[0]: i for i, im in enumerate(images)
         }
-    vis = [
-        np.array([image_id_to_index[v] for v in vv if v in image_id_to_index],
-                 np.uint32)
-        for vv in visibility
-    ]
+    from ..utils.csr import VisibilityCSR, remap_ids
+
+    if not hasattr(visibility, "counts"):
+        visibility = VisibilityCSR.from_lists(list(visibility))
+    vis = remap_ids(visibility, image_id_to_index)
 
     scene.vertices = np.asarray(points, np.float32)
     scene.vertex_views = vis
-    scene.vertex_confidences = [np.zeros(len(v), np.float32) for v in vis]
+    scene.vertex_confidences = None
     scene.normals = None if normals is None else np.asarray(normals, np.float32)
     scene.colors = None if colors is None else np.asarray(colors, np.uint8)
     return scene

@@ -37,6 +37,11 @@ class PipelineConfig:
     min_interval: float = 0.1
     model_type: str = "adamvs"
     pretrain_weight: Optional[str] = None
+    # Explicit opt-in to run inference from random weights (capability /
+    # shape testing only — outputs are statistically garbage). Without it,
+    # a missing/invalid pretrain_weight is a hard error, never a silent
+    # degradation.
+    allow_random_weights: bool = False
     display_depth: bool = False
     infer_batch_size: int = 1  # ref views per device step (throughput knob)
 
@@ -87,7 +92,8 @@ class PipelineConfig:
                               "scene_block_size", "block_overlap",
                               "bbx_border_scene"],
             "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
-                           "model_type", "pretrain_weight", "display_depth"],
+                           "model_type", "pretrain_weight",
+                           "allow_random_weights", "display_depth"],
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
                        "photomatric_threshold", "position_threshold",
                        "depth_threshold", "normal_threshold", "pc_format"],
@@ -128,6 +134,7 @@ class PipelineConfig:
                 "num_depth": self.num_depth, "min_interval": self.min_interval,
                 "model_type": self.model_type,
                 "pretrain_weight": self.pretrain_weight,
+                "allow_random_weights": self.allow_random_weights,
                 "display_depth": self.display_depth,
             },
             "FUSION": {

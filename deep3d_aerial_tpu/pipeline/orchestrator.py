@@ -212,7 +212,14 @@ class AerialPipeline:
             from ..train.checkpoint import restore_params
 
             return restore_params(cfg.pretrain_weight)
-        # random init (capability-testing mode; accuracy requires training)
+        if not cfg.allow_random_weights:
+            raise FileNotFoundError(
+                f"pretrain_weight {cfg.pretrain_weight!r} not found. Dense "
+                "matching from random weights produces garbage depth; set "
+                "DENSEMATCH.allow_random_weights: true only for explicit "
+                "capability/shape testing."
+            )
+        # random init (explicit capability-testing mode)
         return jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.asarray(sample.imgs),
             jnp.asarray(sample.rel_projs),

@@ -29,6 +29,21 @@ def scale_to_network(
     return scale_image(img, scale), cam.scaled(scale)
 
 
+def crop_window(
+    h: int, w: int, max_h: int, max_w: int, base: int = 32
+) -> Tuple[int, int, int, int]:
+    """The (start_h, start_w, new_h, new_w) center-crop window used by
+    crop_to_network. Exposed so GT maps (depth/mask/normal) can be sliced
+    with the SAME window as the image they supervise."""
+    new_h = (min(h, max_h) // base) * base
+    new_w = (min(w, max_w) // base) * base
+    if new_h == 0 or new_w == 0:
+        raise ValueError(f"image {h}x{w} smaller than one {base}-block")
+    start_h = max(0, (h - new_h) // 2)
+    start_w = max(0, (w - new_w) // 2)
+    return start_h, start_w, new_h, new_w
+
+
 def crop_to_network(
     img: np.ndarray,
     cam: Camera,
@@ -42,13 +57,7 @@ def crop_to_network(
     images, preprocess.py:68-79; rounding down is always valid.)
     """
     h, w = img.shape[:2]
-    new_h = (min(h, max_h) // base) * base
-    new_w = (min(w, max_w) // base) * base
-    if new_h == 0 or new_w == 0:
-        raise ValueError(f"image {h}x{w} smaller than one {base}-block")
-
-    start_h = max(0, (h - new_h) // 2)
-    start_w = max(0, (w - new_w) // 2)
+    start_h, start_w, new_h, new_w = crop_window(h, w, max_h, max_w, base)
     img = img[start_h:start_h + new_h, start_w:start_w + new_w]
     cam = cam.cropped(start_w, start_h, new_w, new_h)
     return img, cam

@@ -159,6 +159,7 @@ class WHUOMVSDataset:
         imgs, projs = [], []
         dmin = dmax = 0.0
         ref_name = names[ref]
+        gt_window = None  # ref-view crop window, applied identically to GT
         for v, vid in enumerate(view_ids):
             name = os.path.splitext(names[vid])[0]
             img = cv2.imread(self._scene_path(scene, "images", name, ".png"))
@@ -171,6 +172,10 @@ class WHUOMVSDataset:
 
                 cam = Camera(0, img.shape[1], img.shape[0],
                              K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+                if v == 0:
+                    gt_window = preprocess.crop_window(
+                        img.shape[0], img.shape[1], self.max_h, self.max_w
+                    )
                 img, cam = preprocess.crop_to_network(
                     img, cam, self.max_h, self.max_w
                 )
@@ -190,8 +195,15 @@ class WHUOMVSDataset:
         depth, mask = self._read_gt_depth(scene, ref_base, cv2)
 
         H, W = imgs[0].shape[:2]
-        depth = depth[:H, :W]
-        mask = mask[:H, :W]
+        if gt_window is not None:
+            # slice GT with the SAME center-crop window as the ref image —
+            # a top-left [:H,:W] slice would shift GT spatially whenever the
+            # source image exceeds (max_h, max_w)
+            sh, sw, H, W = gt_window
+        else:
+            sh = sw = 0
+        depth = depth[sh:sh + H, sw:sw + W]
+        mask = mask[sh:sh + H, sw:sw + W]
 
         normal = None
         if self.with_normals:
@@ -202,7 +214,7 @@ class WHUOMVSDataset:
                 n[:, :, 1] *= -1.0  # XrightYup -> XrightYdown
                 n[:, :, 2] *= -1.0
                 n = n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
-                normal = n[:H, :W].astype(np.float32)
+                normal = n[sh:sh + H, sw:sw + W].astype(np.float32)
 
         rel = stage_relative_projections(np.stack(projs), self.num_stages)
         return TrainSample(

@@ -93,3 +93,43 @@ def test_read_train_cam_round_trip(tmp_path, rng):
     assert np.allclose(p2.R_cw, pose.R_cw, atol=1e-5)
     assert np.allclose(K2, K, atol=1e-3)
     assert dmin == 70.0 and dmax == 130.0
+
+def test_gt_cropped_with_same_window_as_image(tmp_path, rng):
+    """Oversized images are CENTER-cropped; GT must use the same window
+    (regression: GT was top-left sliced, shifting supervision)."""
+    import cv2
+
+    BH, BW = 96, 160  # bigger than network size
+    root = tmp_path / "whu_big"
+    scene = root / "scene_a"
+    for sub in ["images", "cams", "depths", "info"]:
+        (scene / sub).mkdir(parents=True)
+    (root / "index.txt").write_text("scene_a\n")
+    K = np.array([[100.0, 0, BW / 2], [0, 100.0, BH / 2], [0, 0, 1]])
+    names = {}
+    for i in range(1, 4):
+        name = f"v{i:03d}"
+        names[i] = name
+        img = rng.integers(0, 255, (BH, BW, 3)).astype(np.uint8)
+        cv2.imwrite(str(scene / "images" / f"{name}.png"), img)
+        write_cam(scene / "cams" / f"{name}.txt", random_pose(rng), K,
+                  80.0, 120.0)
+        # depth encodes absolute pixel position so any shift is detectable
+        yy, xx = np.mgrid[0:BH, 0:BW]
+        depth = (yy * 1000 + xx).astype(np.float32) + 1.0
+        write_pfm(scene / "depths" / f"{name}.pfm", depth)
+    with open(scene / "info" / "image_path.txt", "w") as f:
+        f.write("3\n")
+        for i, n in names.items():
+            f.write(f"{i} {n}.png images/{n}.png\n")
+    with open(scene / "info" / "viewpair.txt", "w") as f:
+        f.write("1\n1\n2 2 100 3 80\n")
+
+    ds = WHUOMVSDataset(str(root), view_num=3, gt_format="pfm",
+                        max_h=64, max_w=96)
+    s = ds.build(0)
+    assert s.imgs.shape[1:3] == (64, 96)
+    # center window: start_h=(96-64)//2=16, start_w=(160-96)//2=32
+    yy, xx = np.mgrid[16:16 + 64, 32:32 + 96]
+    expected = (yy * 1000 + xx).astype(np.float32) + 1.0
+    assert np.array_equal(s.depth_gt, expected)

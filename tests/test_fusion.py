@@ -146,21 +146,42 @@ def test_fuse_block_dedup_across_refs(rng):
     views = make_scene(rng, n_views=4)
     cfg = FusionConfig(min_geo_consist=2, fusion_num=3, skip_line=1,
                        normal_threshold_deg=180.0)
-    fusion = DepthFusion(cfg)
 
-    one = fusion.fuse_block(
+    one = DepthFusion(cfg).fuse_block(
         {k: ViewData(v.name, v.image_id, v.geom, v.depth.copy(), v.prob.copy(),
                      v.normal_cam.copy(), v.image)
          for k, v in views.items()},
         [("v0", ["v1", "v2", "v3"])],
     )
-    both = fusion.fuse_block(
+    both = DepthFusion(cfg).fuse_block(
         {k: ViewData(v.name, v.image_id, v.geom, v.depth.copy(), v.prob.copy(),
                      v.normal_cam.copy(), v.image)
          for k, v in views.items()},
         [("v0", ["v1", "v2", "v3"]), ("v1", ["v0", "v2", "v3"])],
     )
     assert both.xyz.shape[0] < 2 * one.xyz.shape[0] * 0.9
+
+
+def test_fuse_dedup_persists_across_blocks(rng):
+    """Views shared by overlapping blocks must not re-emit consumed points
+    (reference tmp/*_init.pfm semantics span all blocks). Fusing the same
+    ref twice on one DepthFusion instance yields ~no new points the second
+    time; a fresh instance yields the full count again."""
+    views = make_scene(rng, n_views=4)
+    cfg = FusionConfig(min_geo_consist=2, fusion_num=3, skip_line=1,
+                       normal_threshold_deg=180.0)
+    view_list = [("v0", ["v1", "v2", "v3"])]
+
+    fusion = DepthFusion(cfg)
+    first = fusion.fuse_block(dict(views), view_list)
+    second = fusion.fuse_block(dict(views), view_list)
+    assert first.xyz.shape[0] > 1000
+    # the ref's surviving pixels re-fuse from its own masked depth, but the
+    # consumed sources no longer corroborate fresh duplicates en masse
+    assert second.xyz.shape[0] < first.xyz.shape[0]
+
+    fresh = DepthFusion(cfg).fuse_block(dict(views), view_list)
+    assert fresh.xyz.shape[0] == first.xyz.shape[0]
 
 
 def test_fuse_block_scene_range_crop(rng):

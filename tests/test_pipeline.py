@@ -130,7 +130,7 @@ def pipeline(workspace):
         image_w=W_IMG, image_h=H_IMG, image_scale=1.0,
         scene_block_size=[40.0, 40.0, 120.0], block_overlap=2.0,
         view_num=3, num_depth=32, min_interval=0.5,
-        model_type="casmvsnet",
+        model_type="casmvsnet", allow_random_weights=True,
         fusion_num=4, geo_consist_num=2, photomatric_threshold=0.0,
         position_threshold=2.0, depth_threshold=0.05, normal_threshold=180.0,
         dsm_source="pc", pc_select_method="Max",
