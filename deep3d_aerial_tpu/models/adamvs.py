@@ -54,7 +54,8 @@ class _PairBranch(nn.Module):
         corr = jax.lax.map(
             corr_plane,
             jnp.broadcast_to(depths1[:, None, None], (depths1.shape[0], H1, W1)),
-        )  # [D, H, W]
+            batch_size=min(8, depths1.shape[0]),
+        )  # [D, H, W]  (8 planes per gather batch)
         scores = CostRegNet2D(norm=self.norm, dtype=self.dtype, name="reg")(
             jnp.transpose(corr, (1, 2, 0))
         )  # [H, W, D]
@@ -71,6 +72,11 @@ class AdaMVS(nn.Module):
     base_channels: int = 8
     norm: str = "group"
     dtype: Any = jnp.float32
+    # depth ('sp') sharding: split each stage's hypotheses into this many
+    # independently-scanned blocks merged by exact online-softmax algebra
+    # (cascade.streaming_sweep) — identical math on 1 or n devices
+    depth_shards: int = 1
+    plane_chunk: int = 8
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -135,7 +141,8 @@ class AdaMVS(nn.Module):
                 src_feats=feats[1:],
                 rel_projs=rel_projs[s].astype(jnp.float32),
                 weights=weights,
-                init_states=reg.init_states(H, W),
+                plane_chunk=self.plane_chunk,
+                depth_shards=self.depth_shards,
             )
             outputs[f"stage{s + 1}"] = {
                 "depth": depth, "photometric_confidence": conf,

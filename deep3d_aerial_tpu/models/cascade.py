@@ -40,13 +40,11 @@ def variance_cost_volume(
     else:
         depths_hw = depths
 
-    vol = jax.lax.map(
-        lambda d: variance_cost_plane(ref, feats[1:], rel, d), depths_hw
+    # chunked: 8 planes per gather (big DMA batches; peak stays bounded)
+    return jax.lax.map(
+        lambda d: variance_cost_plane(ref, feats[1:], rel, d), depths_hw,
+        batch_size=min(8, depths_hw.shape[0]),
     )
-    # under an active mesh, shard the depth-hypothesis axis ('sp'); the
-    # downstream softmax over D then compiles to psum-merged partials
-    from ..parallel.context import constrain
-    return constrain(vol, "depth_volume")
 
 
 def variance_cost_plane(
@@ -91,6 +89,57 @@ def correlation_cost_plane(
     return (corr * w).sum(0) / (w.sum(0) + 1e-5)
 
 
+def split_depth_blocks(depths: jnp.ndarray, depth_shards: int):
+    """-> (n, depths or [n, D/n, ...] blocks); n = largest divisor of D
+    not exceeding depth_shards."""
+    D = depths.shape[0]
+    n = max(1, int(depth_shards))
+    while D % n:
+        n -= 1
+    if n == 1:
+        return 1, depths
+    return n, depths.reshape(n, D // n, *depths.shape[1:])
+
+
+def blocked_volume_scores(
+    reg_cls, reg_kwargs: dict, name: str,
+    feats: jnp.ndarray, rel: jnp.ndarray, depths: jnp.ndarray,
+    depth_shards: int = 1,
+) -> jnp.ndarray:
+    """Variance cost volume + 3D regularizer, optionally blocked along D
+    for 'sp' sharding -> scores [D, H, W].
+
+    With depth_shards = n > 1 the volume is built and regularized as n
+    independent [D/n, H, W, C] blocks (shared regularizer params, block
+    axis carrying the 'sp' sharding). Directly sharding the D axis of one
+    volume through the strided 3D hourglass MISCOMPILES under the XLA SPMD
+    partitioner (forward diff in f64; see parallel/context.py docstring) —
+    blocked regularization has no cross-shard halos, at the cost of the
+    regularizer not mixing information across block boundaries (deviation
+    from the reference's full-volume regularization, exact when n=1).
+    Param shapes are independent of n, so checkpoints port across shard
+    counts.
+    """
+    from ..parallel.context import constrain
+
+    n, blocks = split_depth_blocks(depths, depth_shards)
+    if n == 1:
+        return reg_cls(**reg_kwargs, name=name)(
+            variance_cost_volume(feats, rel, depths)
+        )
+    vols = jax.vmap(
+        lambda d: variance_cost_volume(feats, rel, d)
+    )(blocks)
+    vols = constrain(vols, "depth_shards")
+    VReg = nn.vmap(
+        reg_cls, in_axes=0, out_axes=0,
+        variable_axes={"params": None}, split_rngs={"params": False},
+    )
+    scores = VReg(**reg_kwargs, name=name)(vols)
+    scores = constrain(scores, "depth_shards")
+    return scores.reshape(-1, *scores.shape[2:])
+
+
 def soft_argmax_depth(prob: jnp.ndarray, depths: jnp.ndarray) -> jnp.ndarray:
     """Expected depth under prob [D, H, W]; depths [D] or [D, H, W]."""
     if depths.ndim == 1:
@@ -126,31 +175,87 @@ def masked_softmax_depth_head(
     return prob, depth, prob.max(axis=0)
 
 
-class _SweepStep(nn.Module):
-    """One depth plane of a streaming sweep: build cost, run the recurrent
-    regularizer step, fold the score into the online softmax."""
+class _ChunkSweepStep(nn.Module):
+    """One CHUNK of depth planes of a streaming sweep: build the chunk's
+    costs in a single batched warp (one large gather instead of K small
+    ones — the TPU throughput lever), then fold K recurrent regularizer
+    steps + online-softmax updates sequentially (numerics identical to the
+    one-plane-at-a-time loop)."""
 
     reg: nn.Module
     cost_mode: str  # 'variance' | 'correlation'
     up: bool
 
     @nn.compact
-    def __call__(self, carry, depth_plane, ref_feat, src_feats, rel_projs, weights):
+    def __call__(self, carry, depth_chunk, ref_feat, src_feats, rel_projs, weights):
         states, osm = carry
         if self.cost_mode == "variance":
-            cost = variance_cost_plane(ref_feat, src_feats, rel_projs, depth_plane)
+            costs = jax.vmap(
+                lambda d: variance_cost_plane(ref_feat, src_feats, rel_projs, d)
+            )(depth_chunk)
         else:
-            cost = correlation_cost_plane(
-                ref_feat, src_feats, rel_projs, depth_plane, weights
-            )
-        out = self.reg(cost, *states)
-        score, new_states = out[0], tuple(out[1:])
+            costs = jax.vmap(
+                lambda d: correlation_cost_plane(
+                    ref_feat, src_feats, rel_projs, d, weights
+                )
+            )(depth_chunk)
         if self.up:
-            dv = jax.image.resize(depth_plane, score.shape, method="bilinear")
+            dvs = jax.vmap(
+                lambda d: jax.image.resize(
+                    d, (2 * d.shape[0], 2 * d.shape[1]), method="bilinear"
+                )
+            )(depth_chunk)
         else:
-            dv = depth_plane
-        osm = OnlineSoftmaxState.update(osm, score.astype(jnp.float32), dv)
-        return (new_states, osm), None
+            dvs = depth_chunk
+        for k in range(depth_chunk.shape[0]):
+            out = self.reg(costs[k], *states)
+            score, states = out[0], tuple(out[1:])
+            osm = OnlineSoftmaxState.update(osm, score.astype(jnp.float32),
+                                            dvs[k])
+        return (states, osm), None
+
+
+class _ShardSweep(nn.Module):
+    """The chunked scan over ONE depth block -> raw OnlineSoftmaxState.
+
+    vmapped over blocks (shared params) for depth sharding: each block's
+    recurrence runs independently (blocked recurrence — the documented
+    deviation from the reference's single sequential slice loop), and the
+    blocks' softmax states merge exactly afterwards."""
+
+    reg: nn.Module
+    cost_mode: str
+    up: bool
+    plane_chunk: int
+
+    @nn.compact
+    def __call__(self, depths, ref_feat, src_feats, rel_projs, weights):
+        H, W = ref_feat.shape[:2]
+        D = depths.shape[0]
+        out_shape = (2 * H, 2 * W) if self.up else (H, W)
+        osm0 = OnlineSoftmaxState.init(out_shape)
+        init_states = self.reg.init_states(H, W)
+
+        # largest divisor of D not exceeding plane_chunk
+        K = max(1, min(int(self.plane_chunk), D))
+        while D % K:
+            K -= 1
+        chunks = depths.reshape(D // K, K, H, W)
+
+        Scan = nn.scan(
+            _ChunkSweepStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
+            out_axes=0,
+        )
+        (_, osm), _ = Scan(reg=self.reg, cost_mode=self.cost_mode,
+                           up=self.up)(
+            (init_states, osm0), chunks, ref_feat, src_feats, rel_projs,
+            weights,
+        )
+        return osm
 
 
 def streaming_sweep(
@@ -162,33 +267,62 @@ def streaming_sweep(
     src_feats: jnp.ndarray,
     rel_projs: jnp.ndarray,
     weights: Optional[jnp.ndarray],
-    init_states: Tuple[jnp.ndarray, ...],
+    init_states: Tuple[jnp.ndarray, ...] = (),
+    plane_chunk: int = 8,
+    depth_shards: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """lax.scan over depth planes with O(H*W) state -> (depth, confidence).
+    """Chunked (and optionally depth-sharded) scan over depth planes with
+    O(H*W) state -> (depth, confidence).
 
     The TPU equivalent of the reference's slice loops (adamvs.py:492-529,
     msrednet.py:400-438): GRU states + online exp-weighted soft-argmax carried
-    across planes, never materializing a [D, H, W, C] volume.
+    across planes, never materializing a [D, H, W, C] volume. `plane_chunk`
+    planes are processed per scan step — their warps batch into one gather
+    and the K regularizer steps unroll (same numerics, far less loop
+    overhead); the peak live warp buffer is [K, V-1, H, W, C].
+
+    depth_shards = n > 1 splits D into n contiguous blocks scanned
+    INDEPENDENTLY (vmapped, shared params) and merges their online-softmax
+    states exactly afterwards. The block axis carries the 'sp' sharding
+    under an active mesh (parallel.context) — the merge then compiles to a
+    psum across depth shards. The computation is identical on 1 or n
+    devices: blocking is part of the model spec, not the layout, so
+    sharded-vs-single equivalence is exact. (Deviation from the reference:
+    the GRU recurrence restarts at block boundaries; the softmax merge
+    itself is exact — see docs/PERF.md.)
     """
+    from ..parallel.context import constrain
+
     H, W = ref_feat.shape[:2]
+    D = depths.shape[0]
     if depths.ndim == 1:
-        depths = jnp.broadcast_to(depths[:, None, None], (depths.shape[0], H, W))
-    out_shape = (2 * H, 2 * W) if up else (H, W)
-    osm0 = OnlineSoftmaxState.init(out_shape)
+        depths = jnp.broadcast_to(depths[:, None, None], (D, H, W))
     if weights is None:
         weights = jnp.ones((src_feats.shape[0], H, W), jnp.float32)
 
-    Scan = nn.scan(
-        _SweepStep,
-        variable_broadcast="params",
-        split_rngs={"params": False},
-        in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+    n = max(1, int(depth_shards))
+    while D % n:
+        n -= 1
+    if n == 1:
+        osm = _ShardSweep(reg=reg, cost_mode=cost_mode, up=up,
+                          plane_chunk=plane_chunk)(
+            depths, ref_feat, src_feats, rel_projs, weights)
+        return OnlineSoftmaxState.finalize(osm)
+
+    blocks = constrain(depths.reshape(n, D // n, H, W), "depth_shards")
+    VmapSweep = nn.vmap(
+        _ShardSweep,
+        in_axes=(0, None, None, None, None),
         out_axes=0,
+        variable_axes={"params": None},
+        split_rngs={"params": False},
     )
-    (states, osm), _ = Scan(reg=reg, cost_mode=cost_mode, up=up)(
-        (init_states, osm0), depths, ref_feat, src_feats, rel_projs, weights
-    )
-    return OnlineSoftmaxState.finalize(osm)
+    osm_blocks = VmapSweep(reg=reg, cost_mode=cost_mode, up=up,
+                           plane_chunk=plane_chunk)(
+        blocks, ref_feat, src_feats, rel_projs, weights)
+    osm_blocks = tuple(constrain(s, "depth_shards") for s in osm_blocks)
+    return OnlineSoftmaxState.finalize(
+        OnlineSoftmaxState.merge_axis0(osm_blocks))
 
 
 class OnlineSoftmaxState:
@@ -221,6 +355,23 @@ class OnlineSoftmaxState:
         acc = acc * scale + e * depth_value
         pmax = jnp.maximum(pmax * scale, e)
         return (m_new, s, acc, pmax)
+
+    @staticmethod
+    def merge_axis0(states):
+        """Exact merge of per-depth-block states stacked on axis 0 — the
+        same algebra as `update`, applied across blocks. Under an 'sp'
+        sharding of axis 0 this compiles to a pmax/psum across shards."""
+        m, s, acc, pmax = states
+        m_g = jnp.max(m, axis=0)
+        scale = jnp.exp(m - m_g[None])
+        # blocks that never saw a plane have m = -inf -> exp(-inf - m_g)
+        scale = jnp.where(jnp.isfinite(m), scale, 0.0)
+        return (
+            m_g,
+            jnp.sum(s * scale, axis=0),
+            jnp.sum(acc * scale, axis=0),
+            jnp.max(pmax * scale, axis=0),
+        )
 
     @staticmethod
     def finalize(state):

@@ -27,8 +27,8 @@ from ..ops.depth_samplers import (
     window_depth_samples,
 )
 from .cascade import (
+    blocked_volume_scores,
     masked_softmax_depth_head,
-    variance_cost_volume,
     window_confidence,
 )
 from .cost_reg import CostRegNet3D
@@ -43,6 +43,7 @@ class CasMVSNet(nn.Module):
     arch: str = "fpn"
     norm: str = "group"
     dtype: Any = jnp.float32
+    depth_shards: int = 1  # 'sp' depth blocking; see cascade.blocked_volume_scores
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -75,9 +76,11 @@ class CasMVSNet(nn.Module):
                     center, self.ndepths[s],
                     self.depth_interval_ratios[s] * interval,
                 )
-            vol = variance_cost_volume(feats, rel_projs[s], depths)
-            scores = CostRegNet3D(norm=self.norm, dtype=self.dtype,
-                                  name=f"cost_reg{s}")(vol)
+            scores = blocked_volume_scores(
+                CostRegNet3D, {"norm": self.norm, "dtype": self.dtype},
+                f"cost_reg{s}", feats, rel_projs[s], depths,
+                depth_shards=self.depth_shards,
+            )
             prob, depth, _ = masked_softmax_depth_head(
                 scores.astype(jnp.float32), depths
             )

@@ -33,6 +33,8 @@ class MSREDNet(nn.Module):
     arch: str = "unet"
     norm: str = "group"
     dtype: Any = jnp.float32
+    depth_shards: int = 1  # see AdaMVS.depth_shards
+    plane_chunk: int = 8
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -72,7 +74,8 @@ class MSREDNet(nn.Module):
                 src_feats=feats[1:],
                 rel_projs=rel_projs[s].astype(jnp.float32),
                 weights=None,
-                init_states=reg.init_states(H, W),
+                plane_chunk=self.plane_chunk,
+                depth_shards=self.depth_shards,
             )
             outputs[f"stage{s + 1}"] = {
                 "depth": depth, "photometric_confidence": conf,

@@ -20,9 +20,9 @@ from ..ops.depth_samplers import (
     variance_depth_samples,
 )
 from .cascade import (
+    blocked_volume_scores,
     masked_softmax_depth_head,
     soft_argmax_depth,
-    variance_cost_volume,
     window_confidence,
 )
 from .cost_reg import CostRegNet3D
@@ -37,6 +37,7 @@ class UCSNet(nn.Module):
     arch: str = "unet"
     norm: str = "group"
     dtype: Any = jnp.float32
+    depth_shards: int = 1  # 'sp' depth blocking; see cascade.blocked_volume_scores
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -69,9 +70,11 @@ class UCSNet(nn.Module):
                 depths = variance_depth_samples(
                     center, spread, self.ndepths[s], self.lamb
                 )
-            vol = variance_cost_volume(feats, rel_projs[s], depths)
-            scores = CostRegNet3D(norm=self.norm, dtype=self.dtype,
-                                  name=f"cost_reg{s}")(vol)
+            scores = blocked_volume_scores(
+                CostRegNet3D, {"norm": self.norm, "dtype": self.dtype},
+                f"cost_reg{s}", feats, rel_projs[s], depths,
+                depth_shards=self.depth_shards,
+            )
             prob, depth, _ = masked_softmax_depth_head(
                 scores.astype(jnp.float32), depths
             )

@@ -1,0 +1,317 @@
+"""Pallas TPU kernel: plane-sweep warp + correlation over a chunk of planes.
+
+The MVS hot op is bilinear sampling of source features at projectively
+warped coordinates (reference homo_warping_float,
+/root/reference/mvs/mvs_cas/models/module.py:516-557). XLA lowers this to
+per-element gathers which run at ~26 ns/sample on TPU — measured 85% of
+AdaMVS inference time (docs/PERF.md). Mosaic exposes no per-lane vector
+gather, so this kernel reformulates EXACT zero-padded 2D bilinear sampling
+as per-tile-row one-hot contractions on the MXU:
+
+  for each ref tile (TH x TW) and plane k:
+    for each tile row v:
+      ybase  = floor(min_u y_src(v, u))            # 2-4 source rows suffice
+      rows   = window[ybase : ybase + NR]          # [NR*C, WIN_W] VMEM slice
+      SelX   = hat(x_src(v, u) - x_window)         # [WIN_W, TW] built on VPU
+      t      = rows @ SelX                         # ONE MXU matmul per row
+      out(v) = sum_r hat(y_src - row_r) * t_r      # 2-tap y lerp, VPU
+    corr(k, tile) = mean_c(ref * out)              # fused product corr
+
+versus the naive one-hot scheme (ops/pallas_warp.py round 1) this is
+O(NR*C*WIN_W) instead of O(WIN_H*C*WIN_W) work per output pixel, and the
+window DMA is shared by ALL K planes of a chunk (refinement-stage windows
+are narrow, so the union footprint stays small).
+
+hat(d) = max(0, 1 - |d|) reproduces bilinear weights AND grid_sample
+'zeros' padding exactly: out-of-window taps simply don't exist and
+in-window taps get the correct fractional weight. Pixels whose footprint
+escapes the window (or whose tile row spans > NR-2 source rows) fall to
+zero; `chunk_coverage` reports whether a chunk is fully covered so callers
+can fall back to the XLA gather path (ops/warp.py — also the oracle).
+
+Mosaic constraints encoded (see round-1 notes in ops/pallas_warp.py):
+scalar-only SMEM loads, lane-collapse-only reshapes, window DMA origin
+aligned to 128 lanes (x) with the leading row dim (y) free, >=8-sublane
+output blocks via the 8-tile revisit pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sweep_corr_kernel(
+    origins_ref,   # scalar prefetch [nTiles, 2] (win_y0, win_x0) int32
+    rel_ref,       # [1, 12] SMEM
+    depths_ref,    # [K, TH, TW] depth planes for this tile (VMEM block)
+    ref_t_ref,     # [C, TH, TW] channel-major ref tile (VMEM block)
+    src_t_ref,     # [H, C, W] channel-middle source (ANY; manual DMA)
+    out_ref,       # [K, 8, P] output rows (VMEM block, 8-tile revisit)
+    win_scratch,   # [WIN_H, C, WIN_W] VMEM scratch
+    dma_sem,
+    *,
+    K: int, TH: int, TW: int, WIN_H: int, WIN_W: int, NR: int, C: int,
+    n_tiles_w: int,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_idx = ti * n_tiles_w + tj
+    win_y0 = origins_ref[tile_idx, 0]
+    win_x0 = pl.multiple_of(origins_ref[tile_idx, 1], 128)
+
+    copy = pltpu.make_async_copy(
+        src_t_ref.at[pl.ds(win_y0, WIN_H), :, pl.ds(win_x0, WIN_W)],
+        win_scratch,
+        dma_sem,
+    )
+    copy.start()
+
+    ys_base = (ti * TH).astype(jnp.float32) + jax.lax.broadcasted_iota(
+        jnp.int32, (TH, TW), 0).astype(jnp.float32)
+    xs_base = (tj * TW).astype(jnp.float32) + jax.lax.broadcasted_iota(
+        jnp.int32, (TH, TW), 1).astype(jnp.float32)
+    r = [rel_ref[0, i] for i in range(12)]  # SMEM: scalar loads only
+
+    ref_t = ref_t_ref[...]  # [C, TH, TW]
+    wxs = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_W, 1), 0).astype(jnp.float32)
+
+    copy.wait()
+    x0f = win_x0.astype(jnp.float32)
+
+    for k in range(K):
+        d = depths_ref[k]
+        px = (r[0] * xs_base + r[1] * ys_base + r[2]) * d + r[3]
+        py = (r[4] * xs_base + r[5] * ys_base + r[6]) * d + r[7]
+        pz = (r[8] * xs_base + r[9] * ys_base + r[10]) * d + r[11]
+        safe = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
+        x_src = jnp.where(pz > 1e-6, px / safe, -1e9)
+        y_src = jnp.where(pz > 1e-6, py / safe, -1e9)
+
+        rows_out = []
+        for v in range(TH):
+            xs_v = x_src[v:v + 1, :]  # [1, TW] (static slice)
+            ys_v = y_src[v:v + 1, :]
+            # first source row this tile row needs (clamped into window);
+            # out-of-image pixels contribute nothing and must not drag it
+            ymin = jnp.min(jnp.where(ys_v > -1.0, ys_v, 1e9))
+            ybase = jnp.clip(
+                jnp.floor(ymin).astype(jnp.int32) - win_y0,
+                0, WIN_H - NR,
+            )
+            rows = win_scratch[pl.ds(ybase, NR)]  # [NR, C, WIN_W]
+            rows2 = rows.reshape(NR * C, WIN_W)
+
+            # one-hot-lerp selection vs window x coordinates (VPU build)
+            SelX = jnp.maximum(
+                0.0, 1.0 - jnp.abs((xs_v - x0f) - wxs)
+            )  # [WIN_W, TW]
+            t = jax.lax.dot_general(
+                rows2, SelX,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [NR*C, TW]
+
+            acc = jnp.zeros((C, TW), jnp.float32)
+            for rr in range(NR):
+                row_idx = (ybase + rr + win_y0).astype(jnp.float32)
+                ay = jnp.maximum(0.0, 1.0 - jnp.abs(ys_v - row_idx))  # [1,TW]
+                acc = acc + ay * t[rr * C:(rr + 1) * C, :]
+
+            ref_v = ref_t[:, v, :]  # [C, TW] (static slice)
+            corr_v = jnp.sum(
+                ref_v * acc, axis=0, keepdims=True
+            ) / C  # [1, TW]
+            rows_out.append(corr_v)
+
+        tile_corr = jnp.concatenate(rows_out, axis=0)  # [TH, TW]
+        out_ref[k, pl.ds(tile_idx % 8, 1), :] = tile_corr.reshape(
+            1, TH * TW
+        )
+
+
+def _coords(rel_flat, depths, H, W):
+    """x_src, y_src [K, H, W] for depth planes [K, H, W] (JAX-side)."""
+    gy, gx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    r = rel_flat
+    px = (r[0] * gx + r[1] * gy + r[2])[None] * depths + r[3]
+    py = (r[4] * gx + r[5] * gy + r[6])[None] * depths + r[7]
+    pz = (r[8] * gx + r[9] * gy + r[10])[None] * depths + r[11]
+    safe = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
+    x = jnp.where(pz > 1e-6, px / safe, -1e9)
+    y = jnp.where(pz > 1e-6, py / safe, -1e9)
+    return x, y
+
+
+def chunk_origins_and_coverage(
+    rel_flat: jnp.ndarray,   # [12]
+    depths: jnp.ndarray,     # [K, H, W]
+    H: int, W: int, TH: int, TW: int, WIN_H: int, WIN_W: int, NR: int,
+):
+    """Per-tile window origins covering ALL K planes + a global coverage
+    flag (True = every in-image footprint is representable; False = some
+    pixels would silently zero -> caller should use the XLA fallback).
+
+    Origins: y0 free (leading DMA dim), x0 quantized to 128 lanes.
+    """
+    K = depths.shape[0]
+    n_th, n_tw = H // TH, W // TW
+    x, y = _coords(rel_flat, depths, H, W)
+    inb = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
+
+    def tileize(a):  # [K, H, W] -> [K, n_th, n_tw, TH*TW]
+        return a.reshape(K, n_th, TH, n_tw, TW).transpose(
+            0, 1, 3, 2, 4).reshape(K, n_th, n_tw, TH * TW)
+
+    big = 1e9
+    xt, yt, it = tileize(x), tileize(y), tileize(inb)
+    x_min = jnp.min(jnp.where(it, xt, big), axis=(0, 3))    # [n_th, n_tw]
+    x_max = jnp.max(jnp.where(it, xt, -big), axis=(0, 3))
+    y_min = jnp.min(jnp.where(it, yt, big), axis=(0, 3))
+    y_max = jnp.max(jnp.where(it, yt, -big), axis=(0, 3))
+
+    y0 = jnp.clip(jnp.floor(y_min).astype(jnp.int32), 0,
+                  max(H - WIN_H, 0))
+    x0 = jnp.clip(
+        (jnp.floor(x_min).astype(jnp.int32) // 128) * 128, 0,
+        max(W - WIN_W, 0),
+    )
+
+    # the taps actually NEEDED are floor(c) / floor(c)+1 clipped into the
+    # image — out-of-image taps are zero-padded, never fetched
+    def lo_tap(c, n):
+        return jnp.clip(jnp.floor(c), 0, n - 1)
+
+    def hi_tap(c, n):
+        return jnp.clip(jnp.floor(c) + 1, 0, n - 1)
+
+    any_valid = x_min < big  # tiles with no in-image pixel trivially covered
+    x_cov = (
+        (lo_tap(x_min, W) >= x0)
+        & (hi_tap(x_max, W) <= x0 + WIN_W - 1)
+    ) | ~any_valid
+    y_cov = (
+        (lo_tap(y_min, H) >= y0)
+        & (hi_tap(y_max, H) <= y0 + WIN_H - 1)
+    ) | ~any_valid
+
+    # per tile ROW of each plane: source rows spanned must fit NR taps
+    it5 = it.reshape(K, n_th, n_tw, TH, TW)
+    yt5 = yt.reshape(K, n_th, n_tw, TH, TW)
+    row_min = jnp.min(jnp.where(it5, yt5, big), axis=4)
+    row_max = jnp.max(jnp.where(it5, yt5, -big), axis=4)
+    row_ok = (
+        hi_tap(row_max, H) - lo_tap(row_min, H) + 1 <= NR
+    ) | (row_min >= big)
+    covered = jnp.all(x_cov) & jnp.all(y_cov) & jnp.all(row_ok)
+
+    origins = jnp.stack(
+        [y0.reshape(-1), x0.reshape(-1)], axis=-1
+    ).astype(jnp.int32)
+    return origins, covered
+
+
+def sweep_corr_chunk_pallas(
+    ref_feat: jnp.ndarray,   # [H, W, C]
+    src_feat: jnp.ndarray,   # [H, W, C]
+    rel: jnp.ndarray,        # [4, 4] / [3, 4] relative projection
+    depths: jnp.ndarray,     # [K, H, W] depth planes
+    tile: Tuple[int, int] = (8, 128),
+    window: Tuple[int, int] = (32, 256),
+    nr: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused multi-plane warp + product correlation -> ([K, H, W], covered).
+
+    corr[k] == mean_c(ref * bilinear_warp(src, plane k)) wherever the
+    coverage flag is True (exact grid_sample-'zeros' semantics). `covered`
+    is a traced bool; callers guard with lax.cond on it.
+    """
+    H, W, C = src_feat.shape
+    K = depths.shape[0]
+    TH, TW = tile
+    WIN_H, WIN_W = min(window[0], H), min(window[1], W)
+    WIN_W = max(128, (WIN_W // 128) * 128) if W >= 128 else W
+    assert H % TH == 0 and W % TW == 0, (H, W, tile)
+    n_th, n_tw = H // TH, W // TW
+    P = TH * TW
+
+    rel_flat = jnp.asarray(rel, jnp.float32).reshape(-1)[:12]
+    depths = jnp.asarray(depths, jnp.float32)
+    origins, covered = chunk_origins_and_coverage(
+        rel_flat, depths, H, W, TH, TW, WIN_H, WIN_W, nr
+    )
+
+    src_t = jnp.transpose(src_feat.astype(jnp.float32), (0, 2, 1))  # [H,C,W]
+    ref_t = jnp.transpose(ref_feat.astype(jnp.float32), (2, 0, 1))  # [C,H,W]
+
+    kernel = functools.partial(
+        _sweep_corr_kernel,
+        K=K, TH=TH, TW=TW, WIN_H=WIN_H, WIN_W=WIN_W, NR=nr, C=C,
+        n_tiles_w=n_tw,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_th, n_tw),
+        in_specs=[
+            pl.BlockSpec((1, 12), lambda i, j, org: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, TH, TW), lambda i, j, org: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TH, TW), lambda i, j, org: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src_t, manual DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (K, 8, P), lambda i, j, org: (0, (i * n_tw + j) // 8, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_H, C, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    n_tiles_pad = ((n_th * n_tw + 7) // 8) * 8
+    flat = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, n_tiles_pad, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(origins, rel_flat[None, :], depths, ref_t, src_t)
+
+    corr = (
+        flat[:, : n_th * n_tw]
+        .reshape(K, n_th, n_tw, TH, TW)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(K, H, W)
+    )
+    return corr, covered
+
+
+def sweep_corr_chunk_reference(
+    ref_feat: jnp.ndarray,
+    src_feat: jnp.ndarray,
+    rel: jnp.ndarray,
+    depths: jnp.ndarray,
+) -> jnp.ndarray:
+    """XLA-gather oracle with identical semantics -> [K, H, W]."""
+    from .warp import plane_sweep_warp_single
+
+    H, W, _ = ref_feat.shape
+
+    def one(d):
+        w = plane_sweep_warp_single(src_feat, rel, d, (H, W))
+        return (w * ref_feat).mean(-1)
+
+    return jax.lax.map(one, depths)

@@ -7,15 +7,23 @@ registered for that role, and XLA inserts the collectives (the
 "annotate shardings, let XLA do the rest" recipe).
 
 Roles used by the models:
-  'depth_volume' — [..., D, H, W, C] cost volumes: shard D ('sp' axis). The
-                   softmax over D then compiles to the psum-merged online
-                   softmax across shards (same algebra as the streaming
-                   accumulator in models/cascade.py).
+  'depth_shards' — [n, ...] depth-block arrays produced by the models'
+                   blocked depth design (models/cascade.streaming_sweep
+                   depth_shards / the volume models' blocked regularizers):
+                   shard the leading block axis on 'sp'. The blocks are
+                   computed independently and merged with the exact
+                   online-softmax algebra, so there are NO cross-shard
+                   halos — sharding a mid-CNN depth axis directly was
+                   observed to MISCOMPILE (forward diff ~1e-3 in f64: the
+                   XLA SPMD partitioner's halo handling of the 3-level
+                   strided conv/deconv hourglass; see tests/test_parallel).
 
-Specs are anchored FROM THE RIGHT (role -> (dims_from_right, axis_name)):
-model code runs under vmap for batching, which prepends batch dims; a
-left-anchored PartitionSpec would land on the batch axis instead of the
-depth axis (observed: 20x-wrong gradients under a dp x sp mesh).
+Specs: role -> (dims, axis_name). dims > 0 anchors FROM THE RIGHT
+(x.ndim - dims): model code runs under vmap for batching, which prepends
+batch dims; a left-anchored PartitionSpec would land on the batch axis
+instead (observed: 20x-wrong gradients under a dp x sp mesh). dims <= 0
+anchors from the LEFT at index -dims — used for 'depth_shards', whose
+block axis is created inside the (spmd-aware) vmap body.
 """
 
 from __future__ import annotations
@@ -48,7 +56,7 @@ def use_mesh(mesh: Mesh, specs: Optional[Dict[str, tuple]] = None):
     if specs is None:
         specs = {}
         if "sp" in mesh.axis_names:
-            specs["depth_volume"] = (4, "sp")
+            specs["depth_shards"] = (0, "sp")
     prev_mesh = getattr(_state, "mesh", None)
     prev_specs = getattr(_state, "specs", {})
     _state.mesh = mesh
@@ -65,11 +73,12 @@ def constrain(x, role: str):
     spec = _specs().get(role)
     if mesh is None or spec is None:
         return x
-    dims_from_right, axis_name = spec
-    if x.ndim < dims_from_right:
+    dims, axis_name = spec
+    idx = (x.ndim - dims) if dims > 0 else -dims
+    if not (0 <= idx < x.ndim):
         return x
     parts = [None] * x.ndim
-    parts[x.ndim - dims_from_right] = axis_name
+    parts[idx] = axis_name
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*parts))
     )

@@ -105,16 +105,17 @@ def make_train_step(
             }
 
         def sharded_step(params, opt_state, batch):
-            # Mid-graph depth-volume constraints are DISABLED while tracing
-            # the gradient: XLA's backward through the batch-replicating
-            # re-layout produced ~10x-wrong gradients under a combined
-            # dp x sp mesh on the host SPMD backend (loss/forward exact;
-            # each axis alone exact — see tests/test_parallel.py). Training
-            # shards on 'dp' + XLA's own propagation; depth sharding stays
-            # on for inference (make_infer_step).
+            # Depth ('sp') sharding rides the models' blocked-depth design:
+            # the block axis created by depth_shards > 1 carries the 'sp'
+            # constraint (role 'depth_shards'), blocks have no cross-shard
+            # halos, and gradients are exact (tests/test_parallel.py runs
+            # the dp x sp equivalence with constraints ON). NOTE: sharding
+            # a mid-CNN depth axis directly instead was observed to
+            # miscompile in the XLA SPMD partitioner — see
+            # parallel/context.py.
             from .context import use_mesh as _use_mesh
 
-            with _use_mesh(mesh, specs={}):
+            with _use_mesh(mesh):
                 fn = jax.jit(
                     step,
                     in_shardings=(repl, repl, batch_shardings(batch)),
@@ -148,13 +149,16 @@ def make_infer_step(model, mesh: Optional[Mesh] = None) -> Callable:
         dp = lambda nd: NamedSharding(mesh, P("dp", *([None] * (nd - 1))))
 
         def sharded(params, imgs, rel_projs, dmin, dmax):
-            fn = jax.jit(
-                infer,
-                in_shardings=(
-                    repl, dp(imgs.ndim), dp(rel_projs.ndim), dp(1), dp(1)
-                ),
-            )
-            return fn(params, imgs, rel_projs, dmin, dmax)
+            from .context import use_mesh as _use_mesh
+
+            with _use_mesh(mesh):
+                fn = jax.jit(
+                    infer,
+                    in_shardings=(
+                        repl, dp(imgs.ndim), dp(rel_projs.ndim), dp(1), dp(1)
+                    ),
+                )
+                return fn(params, imgs, rel_projs, dmin, dmax)
 
         return sharded
     return jax.jit(infer)

@@ -48,7 +48,11 @@ def test_sharded_train_step_matches_single(rng):
     # around the previous stage's depth, so fp-noise between layouts shifts
     # bilinear gather cells discretely and gradients are not comparable.
     # One stage has no resampling feedback -> layouts must agree closely.
-    model = build_model("casmvsnet", ndepths=(8,), num_depth=32)
+    # depth_shards=2: the blocked-depth 'sp' design — the SAME graph runs
+    # single-device and dp x sp sharded (constraints ON), so gradients
+    # must match across layouts.
+    model = build_model("casmvsnet", ndepths=(8,), num_depth=32,
+                        depth_shards=2)
     # SGD: first-step RMSprop updates are ~sign(g) and amplify benign
     # reduction-order noise between layouts; SGD keeps deltas O(lr * dg)
     import optax
@@ -117,6 +121,59 @@ def test_sharded_infer_matches_single(rng):
     out2 = infer2(params, batch["imgs"], batch["rel_projs"],
                   batch["depth_min"], batch["depth_max"])
     assert np.allclose(out1["depth"], out2["depth"], rtol=1e-4, atol=1e-4)
+
+
+def test_adamvs_streaming_sp_matches_single(rng):
+    """The flagship streaming model under dp x sp: blocked scans + exact
+    online-softmax merge — sharded inference must match single-device."""
+    batch = make_batch(rng)
+    model = build_model("adamvs", ndepths=(8, 8, 8), num_depth=32,
+                        depth_shards=2, plane_chunk=4)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["imgs"][0], batch["rel_projs"][0],
+        DMIN, DMAX,
+    )
+    infer1 = make_infer_step(model)
+    out1 = infer1(params, batch["imgs"], batch["rel_projs"],
+                  batch["depth_min"], batch["depth_max"])
+
+    mesh = make_mesh({"dp": 4, "sp": 2})
+    infer2 = make_infer_step(model, mesh=mesh)
+    out2 = infer2(params, batch["imgs"], batch["rel_projs"],
+                  batch["depth_min"], batch["depth_max"])
+    assert np.allclose(out1["depth"], out2["depth"], rtol=1e-4, atol=1e-4)
+
+
+def test_depth_shards_merge_exact(rng):
+    """depth_shards changes only the recurrence blocking, not the softmax:
+    with a regularizer-free check the merged online softmax must equal the
+    unblocked one. Here: a 1-block vs 2-block casmvsnet stage-1 forward on
+    identical params differs only through the blocked 3D regularizer."""
+    from deep3d_aerial_tpu.models.cascade import OnlineSoftmaxState
+
+    D, H, W = 16, 4, 4
+    scores = jnp.asarray(rng.normal(size=(D, H, W)).astype(np.float32))
+    depths = jnp.asarray(np.linspace(80, 120, D, dtype=np.float32))
+    dvals = jnp.broadcast_to(depths[:, None, None], (D, H, W))
+
+    # sequential update over all D
+    st = OnlineSoftmaxState.init((H, W))
+    for d in range(D):
+        st = OnlineSoftmaxState.update(st, scores[d], dvals[d])
+    depth_seq, conf_seq = OnlineSoftmaxState.finalize(st)
+
+    # two blocks merged
+    sts = []
+    for blk in (range(0, 8), range(8, 16)):
+        s = OnlineSoftmaxState.init((H, W))
+        for d in blk:
+            s = OnlineSoftmaxState.update(s, scores[d], dvals[d])
+        sts.append(s)
+    stacked = tuple(jnp.stack([a[i] for a in sts]) for i in range(4))
+    depth_m, conf_m = OnlineSoftmaxState.finalize(
+        OnlineSoftmaxState.merge_axis0(stacked))
+    assert np.allclose(depth_seq, depth_m, rtol=1e-6, atol=1e-5)
+    assert np.allclose(conf_seq, conf_m, rtol=1e-6, atol=1e-6)
 
 
 def test_mesh_construction():
