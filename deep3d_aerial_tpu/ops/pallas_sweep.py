@@ -94,7 +94,7 @@ def _sweep_corr_kernel(
         x_src = jnp.where(pz > 1e-6, px / safe, -1e9)
         y_src = jnp.where(pz > 1e-6, py / safe, -1e9)
 
-        rows_out = []
+        warped_rows = []
         for v in range(TH):
             xs_v = x_src[v:v + 1, :]  # [1, TW] (static slice)
             ys_v = y_src[v:v + 1, :]
@@ -123,14 +123,12 @@ def _sweep_corr_kernel(
                 row_idx = (ybase + rr + win_y0).astype(jnp.float32)
                 ay = jnp.maximum(0.0, 1.0 - jnp.abs(ys_v - row_idx))  # [1,TW]
                 acc = acc + ay * t[rr * C:(rr + 1) * C, :]
+            warped_rows.append(acc.reshape(C, 1, TW))
 
-            ref_v = ref_t[:, v, :]  # [C, TW] (static slice)
-            corr_v = jnp.sum(
-                ref_v * acc, axis=0, keepdims=True
-            ) / C  # [1, TW]
-            rows_out.append(corr_v)
-
-        tile_corr = jnp.concatenate(rows_out, axis=0)  # [TH, TW]
+        # assemble [C, TH, TW] and reduce over C ONCE (canonical layout —
+        # Mosaic rejects float ADD reduces over offset-layout slices)
+        warped = jnp.concatenate(warped_rows, axis=1)
+        tile_corr = jnp.sum(ref_t * warped, axis=0) / C  # [TH, TW]
         out_ref[k, pl.ds(tile_idx % 8, 1), :] = tile_corr.reshape(
             1, TH * TW
         )

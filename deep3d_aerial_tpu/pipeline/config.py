@@ -44,6 +44,9 @@ class PipelineConfig:
     allow_random_weights: bool = False
     display_depth: bool = False
     infer_batch_size: int = 1  # ref views per device step (throughput knob)
+    # 'float32' | 'compensated' — double-single projective chain for
+    # numerically deep scenes (reference float64 warp, module.py:560)
+    warp_precision: str = "float32"
 
     # FUSION
     run_depth_fusion: bool = True
@@ -93,7 +96,8 @@ class PipelineConfig:
                               "bbx_border_scene"],
             "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
                            "model_type", "pretrain_weight",
-                           "allow_random_weights", "display_depth"],
+                           "allow_random_weights", "display_depth",
+                           "warp_precision"],
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
                        "photomatric_threshold", "position_threshold",
                        "depth_threshold", "normal_threshold", "pc_format"],
@@ -136,6 +140,7 @@ class PipelineConfig:
                 "pretrain_weight": self.pretrain_weight,
                 "allow_random_weights": self.allow_random_weights,
                 "display_depth": self.display_depth,
+                "warp_precision": self.warp_precision,
             },
             "FUSION": {
                 "run_depth_fusion": self.run_depth_fusion,

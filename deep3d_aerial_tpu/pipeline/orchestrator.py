@@ -117,6 +117,9 @@ class AerialPipeline:
         import jax.numpy as jnp
 
         from ..models import build_model
+        from ..ops.warp import set_high_precision_warp
+
+        set_high_precision_warp(cfg.warp_precision == "compensated")
 
         ds = EvalDataset(
             self.export_path,

@@ -42,6 +42,10 @@ class TrainerConfig:
     optimizer: str = "rmsprop"
     pair_weight: float = 1.0
     stage_weights: Sequence[float] = (0.5, 1.0, 2.0)
+    # TensorBoard-compatible event logging (reference utils.py:117-147,
+    # hooked every `log_every` steps like train_whu.py:174-178); None
+    # disables. Events + a scalars.jsonl mirror land in <ckpt_dir>/tb.
+    tb_logdir: Optional[str] = "auto"
 
 
 class Trainer:
@@ -65,6 +69,18 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self.epoch = 0
+        self.global_step = 0
+        self._writer = None
+
+    @property
+    def writer(self):
+        if self._writer is None and self.cfg.tb_logdir is not None:
+            from .tb_writer import EventWriter
+
+            logdir = (os.path.join(self.cfg.ckpt_dir, "tb")
+                      if self.cfg.tb_logdir == "auto" else self.cfg.tb_logdir)
+            self._writer = EventWriter(logdir)
+        return self._writer
 
     def init(self, sample_batch: Dict[str, np.ndarray], seed: int = 0):
         self.params = self.model.init(
@@ -96,11 +112,15 @@ class Trainer:
             self.params, self.opt_state, logs = self.step_fn(
                 self.params, self.opt_state, batch
             )
+            self.global_step += 1
             if step % self.cfg.log_every == 0:
                 vals = {k: float(v) for k, v in logs.items()}
                 print(f"[train] epoch {self.epoch} step {step}: "
                       f"loss={vals['total']:.4f} "
                       f"({time.time() - t0:.1f}s)")
+                from .tb_writer import save_scalars
+
+                save_scalars(self.writer, "train", vals, self.global_step)
             logs_acc.append({k: float(v) for k, v in logs.items()})
         mean = {
             k: float(np.mean([l[k] for l in logs_acc]))
@@ -157,6 +177,9 @@ class Trainer:
                 val = self.evaluate(val_batches_fn())
                 abs_err = val.get("abs_error")
                 print(f"[eval] epoch {epoch}: {val}")
+                from .tb_writer import save_scalars
+
+                save_scalars(self.writer, "test", val, self.global_step)
             ckpt.save_checkpoint(
                 self.cfg.ckpt_dir, epoch, self.params, self.opt_state, abs_err
             )

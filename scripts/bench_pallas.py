@@ -42,10 +42,13 @@ def main():
     rng = np.random.default_rng(0)
 
     def rel_mat():
-        # gentle MVS-pair relative projection (overlap-selected views)
+        # gentle MVS-pair relative projection (overlap-selected views):
+        # near-identity rotation block, moderate disparity, near-unit pz row
         m = np.eye(4)
-        m[:3, :3] += rng.normal(0, 0.005, (3, 3))
-        m[0, 3] = rng.normal(0, 300)  # translation -> disparity offset
+        m[:2, :3] += rng.normal(0, 3e-4, (2, 3))
+        m[2, :2] = rng.normal(0, 1e-6, 2)
+        m[0, 3] = rng.normal(0, 200)  # ~2 px disparity at d~100
+        m[1, 3] = rng.normal(0, 100)
         return jnp.asarray(m, jnp.float32)
 
     def chain_time(step, fetch, args):
@@ -83,7 +86,7 @@ def main():
                     window=(32, 256) if w > 128 else (32, 128))
                 return corr, cov
             corrs, covs = jax.lax.map(one_chunk, chunks)
-            o = corrs.sum(0)
+            o = corrs.reshape(-1, *corrs.shape[2:])  # [d, h, w]
             return (o, covs), jnp.float32(jnp.mean(o) * 1e-12)
 
         @jax.jit

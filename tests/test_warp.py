@@ -140,3 +140,52 @@ def test_warp_jit_compiles(rng):
     fn = jax.jit(lambda s, r, d: plane_sweep_warp(s, r, d))
     out = fn(src, rel, jnp.linspace(90.0, 110.0, 4))
     assert out.shape == (4, 32, 32, 8)
+
+
+def test_compensated_warp_precision_extreme_depths():
+    """Double-single projective chain (reference float64 warp analog,
+    module.py:560): at deep scenes the fp32 chain loses sub-pixel
+    precision; the compensated path must track a numpy float64 oracle to
+    ~1e-3 px while plain fp32 drifts an order of magnitude more."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from deep3d_aerial_tpu.ops.warp import sweep_coordinates
+
+    H, W = 16, 128
+    # deep scene at full-res-aerial magnitudes: |ray| ~ 4e4 (long focal x
+    # large principal offsets), big depths, and a translation that cancels
+    # ray*d back into the image — the fp32 chain then loses
+    # eps*|ray*d|/|pz| ~ 2.4e-3 px while the compensated chain is limited
+    # only by fp32 OUTPUT representability (~1e-5 px at x~100)
+    rel = np.array([
+        [1.0002, 3e-4, -40000.0, 2.1735e9],
+        [-2.1e-4, 0.9998, -35000.0, 1.9020e9],
+        [1.5e-6, -2.5e-6, 1.0001, 12.5],
+        [0, 0, 0, 1.0],
+    ])
+    depths = np.full((1, H, W), 54321.75, np.float32)
+
+    # float64 oracle ON THE FLOAT32-ROUNDED INPUTS (the chain's own inputs;
+    # otherwise input quantization dominates and hides the chain error)
+    rel = np.float32(rel).astype(np.float64)
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    ray = np.stack([gx, gy, np.ones_like(gx)], -1) @ rel[:3, :3].T
+    p = ray * depths[0][..., None] + rel[:3, 3]
+    x64 = p[..., 0] / p[..., 2]
+    y64 = p[..., 1] / p[..., 2]
+
+    x32, y32, _ = sweep_coordinates(
+        jnp.asarray(rel, jnp.float32), jnp.asarray(depths), (H, W),
+        highp=False)
+    xhp, yhp, _ = sweep_coordinates(
+        jnp.asarray(rel, jnp.float32), jnp.asarray(depths), (H, W),
+        highp=True)
+
+    err32 = max(np.abs(np.asarray(x32[0]) - x64).max(),
+                np.abs(np.asarray(y32[0]) - y64).max())
+    errhp = max(np.abs(np.asarray(xhp[0]) - x64).max(),
+                np.abs(np.asarray(yhp[0]) - y64).max())
+    assert errhp < 2e-3, errhp
+    assert errhp < err32 / 10, (errhp, err32)
