@@ -33,31 +33,69 @@ from .cost_reg import CostRegNet2D, RedStep2
 from .feature_net import FeatureNet
 
 
+def pair_corr_volumes(
+    f1: jnp.ndarray,       # [V, H1, W1, C] stage-1 features
+    rel1: jnp.ndarray,     # [V-1, 4, 4]
+    depths1: jnp.ndarray,  # [D]
+    warp_impl: str = "xla",
+) -> jnp.ndarray:
+    """Per-source-view product-correlation volumes [V-1, D, H1, W1].
+
+    'pallas' uses the fused sweep kernel per (view, plane-chunk) with a
+    whole-branch lax.cond fallback to the gather build when any chunk's
+    footprint escapes its windows."""
+    from .cascade import _pallas_tile_ok
+
+    H1, W1 = f1.shape[1:3]
+    D = depths1.shape[0]
+    d_hw = jnp.broadcast_to(depths1[:, None, None], (D, H1, W1))
+
+    def xla_volumes():
+        def one_view(src_feat, rel):
+            def corr_plane(d):
+                w = plane_sweep_warp_single(src_feat, rel, d, (H1, W1))
+                return (w * f1[0]).mean(-1)
+            # 8 planes per gather batch; a full-volume warp lane-pads 4x
+            return jax.lax.map(corr_plane, d_hw, batch_size=min(8, D))
+
+        return jax.vmap(one_view)(f1[1:], rel1)
+
+    if warp_impl != "pallas" or not _pallas_tile_ok(H1, W1):
+        return xla_volumes()
+
+    from ..ops.pallas_sweep import sweep_corr_chunk_pallas
+
+    K = 8
+    while D % K:
+        K -= 1
+    chunks = d_hw.reshape(D // K, K, H1, W1)
+    vols, covs = [], []
+    for v in range(f1.shape[0] - 1):
+        corr_v, cov_v = jax.lax.map(
+            lambda dc, _v=v: sweep_corr_chunk_pallas(
+                f1[0], f1[1 + _v], rel1[_v], dc),
+            chunks,
+        )
+        vols.append(corr_v.reshape(D, H1, W1))
+        covs.append(jnp.all(cov_v))
+    covered = jnp.all(jnp.stack(covs))
+    pallas_vol = jnp.stack(vols)
+    return jax.lax.cond(
+        covered, lambda: pallas_vol.astype(f1.dtype), xla_volumes)
+
+
 class _PairBranch(nn.Module):
-    """Per-source-view matching: warp + product correlation + 2D hourglass
-    -> (confidence, pair depth) at stage-1 resolution (adamvs.py:466-489)."""
+    """Per-source-view matching head: 2D hourglass over a precomputed
+    correlation volume -> (confidence, pair depth) at stage-1 resolution
+    (adamvs.py:466-489; the volume build is pair_corr_volumes)."""
 
     norm: str = "group"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, src_feat, rel, ref_feat, depths1):
-        H1, W1 = ref_feat.shape[:2]
-
-        # stream the [D, H, W] correlation volume plane-by-plane: one full
-        # warp makes [D*H*W, C] gather buffers that XLA lane-pads 4x (OOM
-        # at production sizes)
-        def corr_plane(d):
-            w = plane_sweep_warp_single(src_feat, rel, d, (H1, W1))
-            return (w * ref_feat).mean(-1)
-
-        corr = jax.lax.map(
-            corr_plane,
-            jnp.broadcast_to(depths1[:, None, None], (depths1.shape[0], H1, W1)),
-            batch_size=min(8, depths1.shape[0]),
-        )  # [D, H, W]  (8 planes per gather batch)
+    def __call__(self, corr, depths1):
         scores = CostRegNet2D(norm=self.norm, dtype=self.dtype, name="reg")(
-            jnp.transpose(corr, (1, 2, 0))
+            jnp.transpose(corr, (1, 2, 0)).astype(self.dtype)
         )  # [H, W, D]
         prob = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         conf = prob.max(-1)
@@ -77,6 +115,9 @@ class AdaMVS(nn.Module):
     # (cascade.streaming_sweep) — identical math on 1 or n devices
     depth_shards: int = 1
     plane_chunk: int = 8
+    # 'xla' (gather build, exact oracle) | 'pallas' (fused MXU sweep
+    # kernel, ops/pallas_sweep; lax.cond fallback on window overflow)
+    warp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -101,18 +142,21 @@ class AdaMVS(nn.Module):
         rel1 = rel_projs[0].astype(jnp.float32)
         depths1 = uniform_depth_samples(depth_min, depth_max, self.ndepths[0])
 
+        pair_corrs = pair_corr_volumes(
+            f1, rel1, depths1, warp_impl=self.warp_impl
+        )  # [V-1, D, H1, W1]
         # one vmapped pair branch over source views (shared params) —
         # unrolling V-1 copies of the 2D hourglass multiplies compile time
         VmapPair = nn.vmap(
             _PairBranch,
-            in_axes=(0, 0, None, None),
+            in_axes=(0, None),
             out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False},
         )
         view_weights, pair_depths = VmapPair(
             norm=self.norm, dtype=self.dtype, name="pair_reg",
-        )(f1[1:], rel1, f1[0], depths1)
+        )(pair_corrs, depths1)
         # view_weights [V-1, H1, W1] are the fixed aggregation weights for
         # all stages (reference reuses stage-1 pair confs, adamvs.py:291-302)
 
@@ -143,6 +187,7 @@ class AdaMVS(nn.Module):
                 weights=weights,
                 plane_chunk=self.plane_chunk,
                 depth_shards=self.depth_shards,
+                warp_impl=self.warp_impl,
             )
             outputs[f"stage{s + 1}"] = {
                 "depth": depth, "photometric_confidence": conf,

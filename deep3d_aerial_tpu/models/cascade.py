@@ -175,30 +175,73 @@ def masked_softmax_depth_head(
     return prob, depth, prob.max(axis=0)
 
 
+def _pallas_tile_ok(H: int, W: int) -> bool:
+    return H % 8 == 0 and W % 128 == 0
+
+
+def chunk_costs(
+    cost_mode: str,
+    depth_chunk: jnp.ndarray,   # [K, H, W]
+    ref_feat: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    rel_projs: jnp.ndarray,
+    weights: jnp.ndarray,
+    warp_impl: str = "xla",
+    warp_precision: str = "default",
+) -> jnp.ndarray:
+    """Cost volume for a chunk of planes -> [K, H, W, C].
+
+    warp_impl='pallas' uses the fused MXU sweep kernel
+    (ops/pallas_sweep.sweep_cost_chunk_pallas — measured 12-30x over the
+    XLA gather on-chip) with a lax.cond fallback to the gather path when a
+    tile footprint escapes the kernel's windows; 'xla' is the plain gather
+    build (also the oracle)."""
+    def xla_costs():
+        if cost_mode == "variance":
+            return jax.vmap(
+                lambda d: variance_cost_plane(
+                    ref_feat, src_feats, rel_projs, d)
+            )(depth_chunk)
+        return jax.vmap(
+            lambda d: correlation_cost_plane(
+                ref_feat, src_feats, rel_projs, d, weights)
+        )(depth_chunk)
+
+    H, W = ref_feat.shape[:2]
+    if warp_impl != "pallas" or not _pallas_tile_ok(H, W):
+        return xla_costs()
+
+    from ..ops.pallas_sweep import sweep_cost_chunk_pallas
+
+    mode = "variance" if cost_mode == "variance" else "corr"
+    cost_p, covered = sweep_cost_chunk_pallas(
+        ref_feat, src_feats, rel_projs, depth_chunk,
+        weights=None if mode == "variance" else weights,
+        mode=mode, precision=warp_precision,
+    )
+    return jax.lax.cond(covered, lambda: cost_p.astype(ref_feat.dtype),
+                        xla_costs)
+
+
 class _ChunkSweepStep(nn.Module):
     """One CHUNK of depth planes of a streaming sweep: build the chunk's
     costs in a single batched warp (one large gather instead of K small
-    ones — the TPU throughput lever), then fold K recurrent regularizer
-    steps + online-softmax updates sequentially (numerics identical to the
-    one-plane-at-a-time loop)."""
+    ones — the TPU throughput lever, or the fused Pallas kernel), then
+    fold K recurrent regularizer steps + online-softmax updates
+    sequentially (numerics identical to the one-plane-at-a-time loop)."""
 
     reg: nn.Module
     cost_mode: str  # 'variance' | 'correlation'
     up: bool
+    warp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, carry, depth_chunk, ref_feat, src_feats, rel_projs, weights):
         states, osm = carry
-        if self.cost_mode == "variance":
-            costs = jax.vmap(
-                lambda d: variance_cost_plane(ref_feat, src_feats, rel_projs, d)
-            )(depth_chunk)
-        else:
-            costs = jax.vmap(
-                lambda d: correlation_cost_plane(
-                    ref_feat, src_feats, rel_projs, d, weights
-                )
-            )(depth_chunk)
+        costs = chunk_costs(
+            self.cost_mode, depth_chunk, ref_feat, src_feats, rel_projs,
+            weights, warp_impl=self.warp_impl,
+        )
         if self.up:
             dvs = jax.vmap(
                 lambda d: jax.image.resize(
@@ -227,6 +270,7 @@ class _ShardSweep(nn.Module):
     cost_mode: str
     up: bool
     plane_chunk: int
+    warp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, depths, ref_feat, src_feats, rel_projs, weights):
@@ -251,7 +295,7 @@ class _ShardSweep(nn.Module):
             out_axes=0,
         )
         (_, osm), _ = Scan(reg=self.reg, cost_mode=self.cost_mode,
-                           up=self.up)(
+                           up=self.up, warp_impl=self.warp_impl)(
             (init_states, osm0), chunks, ref_feat, src_feats, rel_projs,
             weights,
         )
@@ -270,6 +314,7 @@ def streaming_sweep(
     init_states: Tuple[jnp.ndarray, ...] = (),
     plane_chunk: int = 8,
     depth_shards: int = 1,
+    warp_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Chunked (and optionally depth-sharded) scan over depth planes with
     O(H*W) state -> (depth, confidence).
@@ -305,7 +350,7 @@ def streaming_sweep(
         n -= 1
     if n == 1:
         osm = _ShardSweep(reg=reg, cost_mode=cost_mode, up=up,
-                          plane_chunk=plane_chunk)(
+                          plane_chunk=plane_chunk, warp_impl=warp_impl)(
             depths, ref_feat, src_feats, rel_projs, weights)
         return OnlineSoftmaxState.finalize(osm)
 
@@ -318,7 +363,7 @@ def streaming_sweep(
         split_rngs={"params": False},
     )
     osm_blocks = VmapSweep(reg=reg, cost_mode=cost_mode, up=up,
-                           plane_chunk=plane_chunk)(
+                           plane_chunk=plane_chunk, warp_impl=warp_impl)(
         blocks, ref_feat, src_feats, rel_projs, weights)
     osm_blocks = tuple(constrain(s, "depth_shards") for s in osm_blocks)
     return OnlineSoftmaxState.finalize(

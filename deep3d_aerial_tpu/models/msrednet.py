@@ -35,6 +35,7 @@ class MSREDNet(nn.Module):
     dtype: Any = jnp.float32
     depth_shards: int = 1  # see AdaMVS.depth_shards
     plane_chunk: int = 8
+    warp_impl: str = "xla"  # see AdaMVS.warp_impl
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -76,6 +77,7 @@ class MSREDNet(nn.Module):
                 weights=None,
                 plane_chunk=self.plane_chunk,
                 depth_shards=self.depth_shards,
+                warp_impl=self.warp_impl,
             )
             outputs[f"stage{s + 1}"] = {
                 "depth": depth, "photometric_confidence": conf,

@@ -46,6 +46,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sel_dot(rows2, SelX, precision):
+    """rows2 [M, WIN_W] @ SelX [WIN_W, TW] on the MXU.
+
+    precision='bf16': one pass — Mosaic feeds f32 operands to the MXU as
+    bf16, so VALUES >= 2^8 lose low mantissa bits (~0.4% relative operand
+    error; measured on-chip, and NOT fixed by lax.Precision.HIGHEST, which
+    multiplies pass count without recovering the bits for this layout).
+    Fine for normalized learned features, wrong for raw-magnitude data.
+    precision='f32x3': manual error-free bf16 split of BOTH operands,
+    3 accumulated passes -> f32-faithful products (the exactness mode)."""
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if precision != "f32x3":
+        return dot(rows2, SelX)
+    r_hi = rows2.astype(jnp.bfloat16).astype(jnp.float32)
+    r_lo = rows2 - r_hi
+    s_hi = SelX.astype(jnp.bfloat16).astype(jnp.float32)
+    s_lo = SelX - s_hi
+    return dot(r_hi, s_hi) + (dot(r_lo, s_hi) + dot(r_hi, s_lo))
+
+
 def _sweep_corr_kernel(
     origins_ref,   # scalar prefetch [nTiles, 2] (win_y0, win_x0) int32
     rel_ref,       # [1, 12] SMEM
@@ -57,7 +82,7 @@ def _sweep_corr_kernel(
     dma_sem,
     *,
     K: int, TH: int, TW: int, WIN_H: int, WIN_W: int, NR: int, C: int,
-    n_tiles_w: int,
+    n_tiles_w: int, precision,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -112,11 +137,7 @@ def _sweep_corr_kernel(
             SelX = jnp.maximum(
                 0.0, 1.0 - jnp.abs((xs_v - x0f) - wxs)
             )  # [WIN_W, TW]
-            t = jax.lax.dot_general(
-                rows2, SelX,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [NR*C, TW]
+            t = _sel_dot(rows2, SelX, precision)  # [NR*C, TW]
 
             acc = jnp.zeros((C, TW), jnp.float32)
             for rr in range(NR):
@@ -226,6 +247,7 @@ def sweep_corr_chunk_pallas(
     tile: Tuple[int, int] = (8, 128),
     window: Tuple[int, int] = (32, 256),
     nr: int = 4,
+    precision: str = "f32x3",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused multi-plane warp + product correlation -> ([K, H, W], covered).
@@ -255,7 +277,7 @@ def sweep_corr_chunk_pallas(
     kernel = functools.partial(
         _sweep_corr_kernel,
         K=K, TH=TH, TW=TW, WIN_H=WIN_H, WIN_W=WIN_W, NR=nr, C=C,
-        n_tiles_w=n_tw,
+        n_tiles_w=n_tw, precision=precision,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -295,6 +317,211 @@ def sweep_corr_chunk_pallas(
         .reshape(K, H, W)
     )
     return corr, covered
+
+
+def _sweep_cost_kernel(
+    origins_ref,   # scalar prefetch [V * nTiles, 2] (win_y0, win_x0) int32
+    rels_ref,      # [V, 12] SMEM
+    depths_ref,    # [K, TH, TW] VMEM block
+    ref_t_ref,     # [C, TH, TW] VMEM block
+    weights_ref,   # [V, TH, TW] VMEM block (view weights; ones if unused)
+    src_t_ref,     # [V, H, C, W] (ANY; manual DMA)
+    out_ref,       # [K, 1, C, P] VMEM block (channel-first cost tile)
+    win_scratch,   # [V, WIN_H, C, WIN_W] VMEM scratch
+    dma_sems,      # [V] DMA semaphores
+    *,
+    V: int, K: int, TH: int, TW: int, WIN_H: int, WIN_W: int, NR: int,
+    C: int, n_tiles_w: int, n_tiles: int, mode: str, precision,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_idx = ti * n_tiles_w + tj
+
+    copies = []
+    for v in range(V):
+        win_y0 = origins_ref[v * n_tiles + tile_idx, 0]
+        win_x0 = pl.multiple_of(origins_ref[v * n_tiles + tile_idx, 1], 128)
+        cp = pltpu.make_async_copy(
+            src_t_ref.at[v, pl.ds(win_y0, WIN_H), :, pl.ds(win_x0, WIN_W)],
+            win_scratch.at[v],
+            dma_sems.at[v],
+        )
+        cp.start()
+        copies.append(cp)
+
+    ys_base = (ti * TH).astype(jnp.float32) + jax.lax.broadcasted_iota(
+        jnp.int32, (TH, TW), 0).astype(jnp.float32)
+    xs_base = (tj * TW).astype(jnp.float32) + jax.lax.broadcasted_iota(
+        jnp.int32, (TH, TW), 1).astype(jnp.float32)
+    wxs = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_W, 1), 0).astype(jnp.float32)
+    ref_t = ref_t_ref[...]  # [C, TH, TW]
+
+    for cp in copies:
+        cp.wait()
+
+    for k in range(K):
+        d = depths_ref[k]
+        coords = []
+        for v in range(V):
+            r = [rels_ref[v, i] for i in range(12)]  # SMEM scalar loads
+            px = (r[0] * xs_base + r[1] * ys_base + r[2]) * d + r[3]
+            py = (r[4] * xs_base + r[5] * ys_base + r[6]) * d + r[7]
+            pz = (r[8] * xs_base + r[9] * ys_base + r[10]) * d + r[11]
+            safe = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
+            x_src = jnp.where(pz > 1e-6, px / safe, -1e9)
+            y_src = jnp.where(pz > 1e-6, py / safe, -1e9)
+            coords.append((x_src, y_src))
+
+        rows_out = []
+        for trow in range(TH):
+            ref_row = ref_t[:, trow, :]  # [C, TW]
+            if mode == "corr":
+                num = jnp.zeros((C, TW), jnp.float32)
+                den = jnp.zeros((1, TW), jnp.float32)
+            else:  # variance
+                s1 = ref_row.astype(jnp.float32)
+                s2 = ref_row.astype(jnp.float32) * ref_row
+            for v in range(V):
+                x_src, y_src = coords[v]
+                xs_v = x_src[trow:trow + 1, :]
+                ys_v = y_src[trow:trow + 1, :]
+                win_y0 = origins_ref[v * n_tiles + tile_idx, 0]
+                win_x0 = origins_ref[v * n_tiles + tile_idx, 1]
+                ymin = jnp.min(jnp.where(ys_v > -1.0, ys_v, 1e9))
+                ybase = jnp.clip(
+                    jnp.floor(ymin).astype(jnp.int32) - win_y0,
+                    0, WIN_H - NR,
+                )
+                rows = win_scratch[v, pl.ds(ybase, NR)]  # [NR, C, WIN_W]
+                rows2 = rows.reshape(NR * C, WIN_W)
+                SelX = jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs((xs_v - win_x0.astype(jnp.float32)) - wxs),
+                )  # [WIN_W, TW]
+                t = _sel_dot(rows2, SelX, precision)  # [NR*C, TW]
+                acc = jnp.zeros((C, TW), jnp.float32)
+                for rr in range(NR):
+                    row_idx = (ybase + rr + win_y0).astype(jnp.float32)
+                    ay = jnp.maximum(0.0, 1.0 - jnp.abs(ys_v - row_idx))
+                    acc = acc + ay * t[rr * C:(rr + 1) * C, :]
+                if mode == "corr":
+                    w_v = weights_ref[v, trow:trow + 1, :]  # [1, TW]
+                    num = num + w_v * (ref_row * acc)
+                    den = den + w_v
+                else:
+                    s1 = s1 + acc
+                    s2 = s2 + acc * acc
+            if mode == "corr":
+                cost_row = num / (den + 1e-5)
+            else:
+                nv = float(V + 1)
+                mean = s1 / nv
+                cost_row = s2 / nv - mean * mean
+            rows_out.append(cost_row.reshape(C, 1, TW))
+
+        tile_cost = jnp.concatenate(rows_out, axis=1)  # [C, TH, TW]
+        out_ref[k, 0] = tile_cost.reshape(C, TH * TW)
+
+
+def sweep_cost_chunk_pallas(
+    ref_feat: jnp.ndarray,    # [H, W, C]
+    src_feats: jnp.ndarray,   # [V, H, W, C]
+    rels: jnp.ndarray,        # [V, 4, 4] / [V, 3, 4]
+    depths: jnp.ndarray,      # [K, H, W]
+    weights: Optional[jnp.ndarray] = None,  # [V, H, W] (corr mode)
+    mode: str = "corr",       # 'corr' (AdaMVS weighted) | 'variance'
+    tile: Tuple[int, int] = (8, 128),
+    window: Tuple[int, int] = (32, 256),
+    nr: int = 4,
+    precision: str = "f32x3",
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ALL-VIEW fused warp + cost aggregation -> ([K, H, W, C], covered).
+
+    mode='corr':     cost = sum_v w_v * (ref ⊙ warp_v) / (sum_v w_v + 1e-5)
+                     (cascade.correlation_cost_plane semantics)
+    mode='variance': cost = E[f^2] - E[f]^2 over {ref} ∪ warps
+                     (cascade.variance_cost_plane semantics)
+
+    One kernel invocation covers a whole plane chunk and every source view:
+    V window DMAs per tile feed V*K*TH selection matmuls; no per-view or
+    per-plane intermediates ever reach HBM. `covered` is the AND of all
+    views' footprint checks; callers lax.cond to the XLA path on False.
+    """
+    from functools import partial
+
+    V, H, W, C = src_feats.shape
+    K = depths.shape[0]
+    TH, TW = tile
+    WIN_H, WIN_W = min(window[0], H), min(window[1], W)
+    WIN_W = max(128, (WIN_W // 128) * 128) if W >= 128 else W
+    assert H % TH == 0 and W % TW == 0, (H, W, tile)
+    n_th, n_tw = H // TH, W // TW
+    n_tiles = n_th * n_tw
+    P = TH * TW
+
+    rels_flat = jnp.asarray(rels, jnp.float32).reshape(V, -1)[:, :12]
+    depths = jnp.asarray(depths, jnp.float32)
+    if weights is None:
+        weights = jnp.ones((V, H, W), jnp.float32)
+
+    origins_l, covered = [], True
+    for v in range(V):
+        org_v, cov_v = chunk_origins_and_coverage(
+            rels_flat[v], depths, H, W, TH, TW, WIN_H, WIN_W, nr
+        )
+        origins_l.append(org_v)
+        covered = jnp.logical_and(covered, cov_v) if v else cov_v
+    origins = jnp.concatenate(origins_l, axis=0)  # [V*n_tiles, 2]
+
+    src_t = jnp.transpose(src_feats.astype(jnp.float32), (0, 1, 3, 2))
+    ref_t = jnp.transpose(ref_feat.astype(jnp.float32), (2, 0, 1))
+
+    kernel = partial(
+        _sweep_cost_kernel,
+        V=V, K=K, TH=TH, TW=TW, WIN_H=WIN_H, WIN_W=WIN_W, NR=nr, C=C,
+        n_tiles_w=n_tw, n_tiles=n_tiles, mode=mode,
+        precision=precision,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_th, n_tw),
+        in_specs=[
+            pl.BlockSpec((V, 12), lambda i, j, org: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, TH, TW), lambda i, j, org: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TH, TW), lambda i, j, org: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, TH, TW), lambda i, j, org: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src_t, manual DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (K, 1, C, P), lambda i, j, org: (0, i * n_tw + j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((V, WIN_H, C, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((V,)),
+        ],
+    )
+
+    flat = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, n_tiles, C, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(origins, rels_flat, depths, ref_t, weights.astype(jnp.float32), src_t)
+
+    cost = (
+        flat.reshape(K, n_th, n_tw, C, TH, TW)
+        .transpose(0, 1, 4, 2, 5, 3)
+        .reshape(K, H, W, C)
+    )
+    return cost, covered
 
 
 def sweep_corr_chunk_reference(

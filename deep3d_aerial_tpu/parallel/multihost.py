@@ -51,9 +51,12 @@ def plan_hosts(
 ) -> List[HostPlan]:
     """Full multi-host plan: assignment + view ownership + exchange lists.
 
-    Ownership rule: a view is owned by the LOWEST host id that needs it —
-    deterministic, so every host derives the same plan independently (no
-    coordination round needed).
+    Ownership rule: each view is owned by exactly one of the hosts that
+    need it, chosen to BALANCE inference load (fewest owned views so far,
+    ties to the lowest host id). Deterministic — every host derives the
+    same plan independently, no coordination round needed. (A plain
+    lowest-host rule piles every shared view onto host 0 in overlapping
+    scenes and serializes the MVS stage.)
     """
     assign = assign_blocks(blocks, n_hosts)
 
@@ -71,9 +74,13 @@ def plan_hosts(
         refs.append(ref_set)
 
     owner: Dict[int, int] = {}
-    for h in range(n_hosts):
-        for v in sorted(needed[h]):
-            owner.setdefault(v, h)
+    loads = [0] * n_hosts
+    all_views = sorted(set().union(*needed)) if needed else []
+    for v in all_views:
+        cands = [h for h in range(n_hosts) if v in needed[h]]
+        h = min(cands, key=lambda k: (loads[k], k))
+        owner[v] = h
+        loads[h] += 1
 
     plans = []
     for h in range(n_hosts):

@@ -46,6 +46,7 @@ def make_train_step(
     num_stages: int = 3,
     stage_weights: Sequence[float] = (0.5, 1.0, 2.0),
     pair_weight: float = 1.0,
+    normal_weight: float = 0.0,
     mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Returns jitted step(params, opt_state, batch) -> (params, opt_state, logs).
@@ -53,6 +54,7 @@ def make_train_step(
     batch dict (leading dim B, sharded on 'dp' when a mesh is given):
       imgs [B, V, H, W, 3], rel_projs [B, S, V-1, 4, 4],
       depth_min [B], depth_max [B], depth_gt [B, H, W], mask [B, H, W]
+      (+ normal_gt [B, H, W, 3], K_inv [B, 3, 3] when normal_weight > 0)
     """
     # spmd_axis_name makes batched sharding constraints (the models'
     # depth-volume 'sp' annotations) keep the batch dim on 'dp'. Without it
@@ -63,7 +65,11 @@ def make_train_step(
         vmap_kwargs["spmd_axis_name"] = "dp"
 
     def loss_fn(params, batch):
-        def one(imgs, rel_projs, dmin, dmax, gt, mask):
+        with_normals = (
+            normal_weight > 0 and "normal_gt" in batch and "K_inv" in batch
+        )
+
+        def one(imgs, rel_projs, dmin, dmax, gt, mask, normal_gt, K_inv):
             out = model.apply(params, imgs, rel_projs, dmin, dmax)
             logs = cascade_depth_loss(
                 out,
@@ -71,12 +77,22 @@ def make_train_step(
                 [mask] * num_stages,
                 stage_weights=stage_weights,
                 pair_weight=pair_weight,
+                normal_gt=normal_gt,
+                K_inv=K_inv,
+                normal_weight=normal_weight if with_normals else 0.0,
             )
             return logs["total"], logs
 
+        B = batch["imgs"].shape[0]
+        normal_gt = batch.get("normal_gt") if with_normals else None
+        K_inv = batch.get("K_inv") if with_normals else None
+        if normal_gt is None:
+            normal_gt = jnp.zeros((B, 1, 1, 3), jnp.float32)
+            K_inv = jnp.zeros((B, 3, 3), jnp.float32)
         totals, logs = jax.vmap(one, **vmap_kwargs)(
             batch["imgs"], batch["rel_projs"], batch["depth_min"],
             batch["depth_max"], batch["depth_gt"], batch["mask"],
+            normal_gt, K_inv,
         )
         return totals.mean(), jax.tree_util.tree_map(jnp.mean, logs)
 

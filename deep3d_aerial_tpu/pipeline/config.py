@@ -47,6 +47,10 @@ class PipelineConfig:
     # 'float32' | 'compensated' — double-single projective chain for
     # numerically deep scenes (reference float64 warp, module.py:560)
     warp_precision: str = "float32"
+    # emit <name>_normal.pfm (normals from predicted depth) next to each
+    # depth map — the optional normal-aware fusion input
+    # (reference fusion_3d_normal.py:191-195)
+    save_normals: bool = False
 
     # FUSION
     run_depth_fusion: bool = True
@@ -97,7 +101,7 @@ class PipelineConfig:
             "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
                            "model_type", "pretrain_weight",
                            "allow_random_weights", "display_depth",
-                           "warp_precision"],
+                           "warp_precision", "save_normals"],
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
                        "photomatric_threshold", "position_threshold",
                        "depth_threshold", "normal_threshold", "pc_format"],
@@ -141,6 +145,7 @@ class PipelineConfig:
                 "allow_random_weights": self.allow_random_weights,
                 "display_depth": self.display_depth,
                 "warp_precision": self.warp_precision,
+                "save_normals": self.save_normals,
             },
             "FUSION": {
                 "run_depth_fusion": self.run_depth_fusion,

@@ -111,7 +111,9 @@ class AerialPipeline:
         tf.write_border(_join(self.export_path, "scene_border.txt"), border)
 
     # ---------------- stage 2: dense matching -------------------------
-    def dense_match(self, params=None) -> None:
+    def dense_match(self, params=None, view_filter=None) -> None:
+        """Infer + write depth maps. `view_filter`: optional set of ref image
+        ids to process (multi-host ownership — parallel/multihost plans)."""
         cfg = self.cfg
         import jax
         import jax.numpy as jnp
@@ -128,6 +130,8 @@ class AerialPipeline:
             resize_scale=cfg.image_scale,
             max_h=cfg.max_h, max_w=cfg.max_w,
         )
+        if view_filter is not None:
+            ds.samples = [s for s in ds.samples if s[0] in view_filter]
         if len(ds) == 0:
             return
 
@@ -143,6 +147,12 @@ class AerialPipeline:
                 return out["depth"], out["photometric_confidence"]
 
             return jax.vmap(one)(imgs, rel, dmin, dmax)
+
+        @jax.jit
+        def normal_maps(depths_b, K_invs):
+            from ..ops.normals import normals_from_depth
+
+            return jax.vmap(normals_from_depth)(depths_b, K_invs)
 
         B = max(1, int(getattr(cfg, "infer_batch_size", 1)))
         from concurrent.futures import ThreadPoolExecutor
@@ -177,10 +187,28 @@ class AerialPipeline:
             )
             depth = np.asarray(depth, np.float32)
             conf = np.asarray(conf, np.float32)
+            normals = None
+            if cfg.save_normals:
+                # normals from predicted depth (camera frame), stored in
+                # [0, 1] per the reference contract (fusion reads *2 - 1,
+                # fusion_3d_normal.py:191-195)
+                K_invs = np.stack([
+                    np.linalg.inv(s.ref_cam.K).astype(np.float32)
+                    for s in samples
+                ])
+                normals = np.asarray(
+                    normal_maps(jnp.asarray(depth), jnp.asarray(K_invs)),
+                    np.float32,
+                )
             for k, i in enumerate(idxs):
                 s = samples[k]
                 write_pfm(_join(self.mvs_path, f"{s.ref_name}_init.pfm"), depth[k])
                 write_pfm(_join(self.mvs_path, f"{s.ref_name}_prob.pfm"), conf[k])
+                if normals is not None:
+                    write_pfm(
+                        _join(self.mvs_path, f"{s.ref_name}_normal.pfm"),
+                        (normals[k] + 1.0) * 0.5,
+                    )
                 tf.write_mvs_cam(_join(self.mvs_path, f"{s.ref_name}.txt"),
                                  s.ref_cam)
                 if cfg.display_depth:

@@ -37,6 +37,7 @@ class TrainSample:
     depth_gt: np.ndarray
     mask: np.ndarray
     normal_gt: Optional[np.ndarray] = None
+    K_inv: Optional[np.ndarray] = None  # ref-view inverse intrinsics
 
 
 def read_train_cam(path) -> Tuple[Pose, np.ndarray, float, float]:
@@ -159,6 +160,7 @@ class WHUOMVSDataset:
         imgs, projs = [], []
         dmin = dmax = 0.0
         ref_name = names[ref]
+        ref_K = None
         gt_window = None  # ref-view crop window, applied identically to GT
         for v, vid in enumerate(view_ids):
             name = os.path.splitext(names[vid])[0]
@@ -180,6 +182,8 @@ class WHUOMVSDataset:
                     img, cam, self.max_h, self.max_w
                 )
                 K = cam.K
+            if v == 0:
+                ref_K = K.copy()
             P = pose.T_cw.copy()
             P[:3, :4] = K @ P[:3, :4]
             projs.append(P)
@@ -225,6 +229,7 @@ class WHUOMVSDataset:
             depth_gt=depth,
             mask=mask.astype(np.float32),
             normal_gt=normal,
+            K_inv=np.linalg.inv(ref_K).astype(np.float32),
         )
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0):
@@ -234,7 +239,7 @@ class WHUOMVSDataset:
             np.random.default_rng(seed).shuffle(order)
         for i in range(0, len(order) - batch_size + 1, batch_size):
             samples = [self.build(j) for j in order[i:i + batch_size]]
-            yield {
+            batch = {
                 "imgs": np.stack([s.imgs for s in samples]),
                 "rel_projs": np.stack([s.rel_projs for s in samples]),
                 "depth_min": np.array([s.depth_min for s in samples], np.float32),
@@ -242,3 +247,8 @@ class WHUOMVSDataset:
                 "depth_gt": np.stack([s.depth_gt for s in samples]),
                 "mask": np.stack([s.mask for s in samples]),
             }
+            if all(s.normal_gt is not None for s in samples):
+                batch["normal_gt"] = np.stack(
+                    [s.normal_gt for s in samples])
+                batch["K_inv"] = np.stack([s.K_inv for s in samples])
+            yield batch

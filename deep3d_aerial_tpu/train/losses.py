@@ -38,12 +38,21 @@ def cascade_depth_loss(
     mask_stages: Sequence[jnp.ndarray],
     stage_weights: Sequence[float] = (0.5, 1.0, 2.0),
     pair_weight: float = 1.0,
+    normal_gt=None,
+    K_inv=None,
+    normal_weight: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Total cascade loss.
 
     outputs         : model output dict with 'stageK' sub-dicts
     depth_gt_stages : GT depth per stage, each [h, w] at that stage's output res
     mask_stages     : validity masks per stage (>0.5 = supervised)
+    normal_gt/K_inv : optional [H, W, 3] GT camera-frame normals + inverse
+                      intrinsics; adds `normal_weight * (1 - cos)` between
+                      GT and normals derived from the final predicted depth
+                      (the normal-aware training mode — reference GT-normal
+                      loader cas_whu_omvs.py:457, consumer
+                      fusion_3d_normal.py:191-195)
     Returns {'total', 'depth_loss' (last stage), 'stageK' each}.
     """
     total = 0.0
@@ -68,6 +77,20 @@ def cascade_depth_loss(
         total = total + w * (loss + pair_weight * pair_loss)
         logs[key] = loss
         last = loss
+
+    if normal_weight and normal_gt is not None and K_inv is not None:
+        from ..ops.normals import normals_from_depth
+
+        gt = depth_gt_stages[-1]
+        m = mask_stages[-1] > 0.5
+        est = _resize_to(outputs[f"stage{len(depth_gt_stages)}"]["depth"],
+                         gt.shape)
+        n_pred = normals_from_depth(est, K_inv)
+        cos = jnp.sum(n_pred * normal_gt, axis=-1)
+        normal_loss = _masked_mean(1.0 - cos, m)
+        total = total + normal_weight * normal_loss
+        logs["normal_loss"] = normal_loss
+
     logs["total"] = total
     logs["depth_loss"] = last
     return logs

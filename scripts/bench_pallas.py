@@ -100,10 +100,12 @@ def main():
             corr_x, _ = xla_step(jnp.float32(0), ref, src, rel, planes)
             corr_p = np.asarray(corr_p).reshape(d, h, w)
             corr_x = np.asarray(corr_x).reshape(d, h, w)
-            err = np.max(np.abs(corr_p - corr_x))
+            err = np.abs(corr_p - corr_x)
             print(json.dumps({
                 "name": f"{name}_check", "covered": bool(np.all(covs)),
-                "maxdiff": float(err)}), flush=True)
+                "maxdiff": float(err.max()),
+                "p999": float(np.quantile(err, 0.999)),
+                "frac_gt_1e3": float((err > 1e-3).mean())}), flush=True)
 
         tp = chain_time(pallas_step, jax.jit(lambda o: o[0][0, 0, 0]),
                         (ref, src, rel, chunks))

@@ -49,9 +49,10 @@ def render_view(pose, K):
     return np.clip(img * 255, 0, 255).astype(np.uint8)
 
 
-@pytest.fixture(scope="module")
-def workspace(tmp_path_factory):
-    ws = tmp_path_factory.mktemp("ws")
+def build_synthetic_workspace(ws):
+    """Build the tiny synthetic COLMAP workspace under `ws` (reused by the
+    multihost driver test)."""
+    ws.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(3)
     K = np.array([[110.0, 0, W_IMG / 2], [0, 110.0, H_IMG / 2], [0, 0, 1]])
 
@@ -122,6 +123,11 @@ def workspace(tmp_path_factory):
          for i in poses],
     )
     return ws
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    return build_synthetic_workspace(tmp_path_factory.mktemp("ws"))
 
 
 @pytest.fixture(scope="module")

@@ -131,3 +131,34 @@ def test_training_reduces_loss(rng):
         losses.append(float(logs["total"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_normal_aware_loss_term(rng):
+    """normal_weight adds a (1 - cos) term against normals derived from
+    the predicted depth (normal-aware training mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep3d_aerial_tpu.models import build_model
+    from deep3d_aerial_tpu.parallel.train_step import (
+        make_optimizer, make_train_step,
+    )
+
+    batch = textured_batch(rng, b=1)
+    B, _, Hh, Ww = batch["imgs"].shape[:4]
+    batch["normal_gt"] = np.tile(
+        np.array([0, 0, -1.0], np.float32), (B, Hh, Ww, 1))
+    K = np.array([[100.0, 0, Ww / 2], [0, 100.0, Hh / 2], [0, 0, 1]],
+                 np.float32)
+    batch["K_inv"] = np.tile(np.linalg.inv(K), (B, 1, 1))
+
+    model = build_model("casmvsnet", ndepths=(8, 8, 8), num_depth=32)
+    tx = make_optimizer(1e-3, kind="adam")
+    params = model.init(jax.random.PRNGKey(0), batch["imgs"][0],
+                        batch["rel_projs"][0], 90.0, 110.0)
+    opt = tx.init(params)
+    step = make_train_step(model, tx, pair_weight=0.0, normal_weight=1.0)
+    _, _, logs = step(params, opt, batch)
+    assert "normal_loss" in logs
+    assert 0.0 <= float(logs["normal_loss"]) <= 2.0
+    assert np.isfinite(float(logs["total"]))
