@@ -50,8 +50,9 @@ def main():
         os.environ.get("BENCH_DTYPE", "float32")
     ]
     model_name = os.environ.get("BENCH_MODEL", "adamvs")
+    warp_impl = os.environ.get("BENCH_WARP", "pallas")
     model = build_model(model_name, ndepths=(48, 32, 8), num_depth=384,
-                        dtype=dtype)
+                        dtype=dtype, warp_impl=warp_impl)
     imgs, rel = _example_inputs(V=V, H=H, W=W)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
 
@@ -88,7 +89,8 @@ def main():
     baseline_rate = ref_full_rate * scale
 
     print(json.dumps({
-        "metric": f"{model_name}_depth_maps_per_s_{V}view_384depth_{H}x{W}",
+        "metric": (f"{model_name}_depth_maps_per_s_{V}view_384depth_{H}x{W}"
+                   + ("_pallas" if warp_impl == "pallas" else "")),
         "value": round(maps_per_s, 4),
         "unit": "depth_maps/s/chip",
         "vs_baseline": round(maps_per_s / baseline_rate, 3),

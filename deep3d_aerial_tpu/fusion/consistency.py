@@ -66,6 +66,18 @@ def _unpack(g):
     return g[0, :3, :3], g[1], g[2, :3, :3], g[3], g[4, :3, :3]
 
 
+
+def _mm3(v, M):
+    """[..., 3] x [3, 3]^T product spelled ELEMENTWISE: jnp matmuls go
+    through the TPU MXU whose f32 operands are fed as bf16 — world-scale
+    coordinates would lose low mantissa bits, breaking the 1 px / 1%%
+    consistency thresholds (measured on-chip for the warp path)."""
+    return jnp.stack(
+        [v[..., 0] * M[a, 0] + v[..., 1] * M[a, 1] + v[..., 2] * M[a, 2]
+         for a in range(3)],
+        axis=-1,
+    )
+
 @partial(jax.jit, static_argnames=("position_threshold", "depth_threshold",
                                    "normal_cos_threshold", "confidence_threshold"))
 def consistency_check(
@@ -100,13 +112,13 @@ def consistency_check(
     pix = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)  # [H, W, 3]
 
     # ref pixel -> world
-    cam_ref = (pix @ K_ref_inv.T) * depth_ref[..., None]
-    world = cam_ref @ T_ref_inv[:3, :3].T + T_ref_inv[:3, 3]
+    cam_ref = _mm3(pix, K_ref_inv) * depth_ref[..., None]
+    world = _mm3(cam_ref, T_ref_inv[:3, :3]) + T_ref_inv[:3, 3]
 
     # world -> src pixel
-    cam_src = world @ T_src[:3, :3].T + T_src[:3, 3]
+    cam_src = _mm3(world, T_src[:3, :3]) + T_src[:3, 3]
     z_src = cam_src[..., 2]
-    uvw = cam_src @ K_src.T
+    uvw = _mm3(cam_src, K_src)
     safe_w = jnp.where(jnp.abs(uvw[..., 2]) < 1e-8, 1e-8, uvw[..., 2])
     x_s = uvw[..., 0] / safe_w
     y_s = uvw[..., 1] / safe_w
@@ -127,11 +139,11 @@ def consistency_check(
     pix_src = jnp.stack(
         [xi_c.astype(jnp.float32), yi_c.astype(jnp.float32), jnp.ones_like(x_s)], -1
     )
-    cam_src2 = (pix_src @ K_src_inv.T) * d_src[..., None]
-    world_src = cam_src2 @ T_src_inv[:3, :3].T + T_src_inv[:3, 3]
-    cam_ref2 = world_src @ T_ref[:3, :3].T + T_ref[:3, 3]
+    cam_src2 = _mm3(pix_src, K_src_inv) * d_src[..., None]
+    world_src = _mm3(cam_src2, T_src_inv[:3, :3]) + T_src_inv[:3, 3]
+    cam_ref2 = _mm3(world_src, T_ref[:3, :3]) + T_ref[:3, 3]
     depth_reproj = cam_ref2[..., 2]
-    uvw2 = cam_ref2 @ K_ref.T
+    uvw2 = _mm3(cam_ref2, K_ref)
     safe_w2 = jnp.where(jnp.abs(uvw2[..., 2]) < 1e-8, 1e-8, uvw2[..., 2])
     x_r = uvw2[..., 0] / safe_w2
     y_r = uvw2[..., 1] / safe_w2
@@ -141,7 +153,7 @@ def consistency_check(
     rel_diff = depth_diff / jnp.where(valid, depth_ref, 1.0)
 
     # normal agreement in the world frame
-    n_src_world = n_src @ R_src_wc.T
+    n_src_world = _mm3(n_src, R_src_wc)
     n_src_world = n_src_world / (
         jnp.linalg.norm(n_src_world, axis=-1, keepdims=True) + 1e-12
     )

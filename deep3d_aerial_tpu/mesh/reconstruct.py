@@ -121,3 +121,92 @@ def create_mesh_from_ply(src_ply, dst_ply, cfg: MeshConfig = MeshConfig()):
     verts, faces, vcolors = delaunay_mesh_25d(pts, cfg, colors, normals)
     write_mesh_ply(dst_ply, verts, faces, vcolors)
     return verts, faces
+
+
+def reconstruct_graphcut_from_mvs(
+    mvs_path,
+    cfg: MeshConfig = MeshConfig(),
+    alpha_vis: float = 1.0,
+    inside_w: float = 2.0,
+    min_component: int = 20,
+):
+    """Visibility-driven 3D Delaunay + graph-cut surface from an OpenMVS
+    interface scene (the ReconstructMesh algorithm the reference shells out
+    for, createmesh.py:50-79; C++ core native/delaunay_mesh.cc).
+
+    Consumes scene_i.mvs — vertices WITH their per-point visibility lists
+    and camera poses — so vertical facades and overhangs reconstruct where
+    a 2.5D heightfield provably cannot. Returns (verts, faces, colors) or
+    None when the native library isn't built (caller falls back to 2.5D).
+    """
+    from ..io.mvs_interface import read_mvs
+    from ..utils.native import reconstruct_mesh_native
+
+    scene = read_mvs(mvs_path)
+    pts = np.asarray(scene.vertices, np.float64)
+    if pts.shape[0] < 16:
+        return None
+    views = scene.vertex_views
+    if hasattr(views, "counts"):
+        vals = np.asarray(views.values, np.int32)
+        offs = np.asarray(views.offsets, np.int64)
+    else:
+        offs = np.concatenate(
+            [[0], np.cumsum([len(v) for v in views])]).astype(np.int64)
+        vals = (np.concatenate(views).astype(np.int32) if len(views)
+                else np.zeros(0, np.int32))
+
+    # camera center per image INDEX (visibility stores image indices)
+    cams = np.zeros((len(scene.images), 3), np.float64)
+    for i, im in enumerate(scene.images):
+        pose = scene.platforms[im.platform_id].poses[im.pose_id]
+        cams[i] = np.asarray(pose.C, np.float64)
+
+    colors = scene.colors
+
+    # optional decimation (keeps CSR rows aligned)
+    if cfg.decimate_ratio < 1.0 and len(pts) > 100:
+        keep = np.linspace(0, len(pts) - 1,
+                           max(16, int(len(pts) * cfg.decimate_ratio)),
+                           ).astype(np.int64)
+        counts = np.diff(offs)[keep]
+        sel_vals = np.concatenate(
+            [vals[offs[i]:offs[i + 1]] for i in keep]) if len(keep) else vals[:0]
+        pts = pts[keep]
+        colors = colors[keep] if colors is not None else None
+        vals = sel_vals
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    tris = reconstruct_mesh_native(
+        pts, vals, offs, cams,
+        alpha_vis=alpha_vis, inside_w=inside_w, min_component=min_component,
+    )
+    if tris is None:
+        return None
+    return pts.astype(np.float32), tris.astype(np.int32), colors
+
+
+def create_mesh_from_scene(
+    src_ply, dst_ply, cfg: MeshConfig = MeshConfig(), mvs_path=None,
+    method: str = "auto",
+):
+    """Mesh driver with method selection: 'graphcut3d' consumes the .mvs
+    visibility scene (OpenMVS-equivalent), '2.5d' is the xy-Delaunay
+    heightfield, 'auto' prefers graph-cut when the scene + native core are
+    available (reference batch_run_mesh scans fusion/*.mvs the same way,
+    createmesh.py:175-214)."""
+    import os
+
+    if method in ("auto", "graphcut3d") and mvs_path and os.path.exists(
+            str(mvs_path)):
+        out = reconstruct_graphcut_from_mvs(mvs_path, cfg)
+        if out is not None:
+            verts, faces, colors = out
+            write_mesh_ply(dst_ply, verts, faces, colors)
+            return verts, faces
+        if method == "graphcut3d":
+            raise RuntimeError(
+                "graphcut3d requested but the native mesh core is not built "
+                "(run native/build.sh)"
+            )
+    return create_mesh_from_ply(src_ply, dst_ply, cfg)

@@ -187,7 +187,7 @@ def chunk_costs(
     rel_projs: jnp.ndarray,
     weights: jnp.ndarray,
     warp_impl: str = "xla",
-    warp_precision: str = "default",
+    warp_precision: str = "f32x3",
 ) -> jnp.ndarray:
     """Cost volume for a chunk of planes -> [K, H, W, C].
 

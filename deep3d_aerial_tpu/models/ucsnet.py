@@ -38,6 +38,7 @@ class UCSNet(nn.Module):
     norm: str = "group"
     dtype: Any = jnp.float32
     depth_shards: int = 1  # 'sp' depth blocking; see cascade.blocked_volume_scores
+    warp_impl: str = "xla"  # accepted for zoo API uniformity (volume build is the gather path)
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):

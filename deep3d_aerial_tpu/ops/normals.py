@@ -18,8 +18,13 @@ def backproject_cam(depth: jnp.ndarray, K_inv: jnp.ndarray) -> jnp.ndarray:
     H, W = depth.shape
     gx, gy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
                           jnp.arange(H, dtype=jnp.float32))
-    pix = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)
-    return (pix @ K_inv.T) * depth[..., None]
+    # elementwise (not @): TPU MXU feeds f32 matmul operands as bf16 and
+    # pixel coords >= 2^8 would lose mantissa bits (see fusion/consistency)
+    ray = jnp.stack(
+        [K_inv[a, 0] * gx + K_inv[a, 1] * gy + K_inv[a, 2] for a in range(3)],
+        axis=-1,
+    )
+    return ray * depth[..., None]
 
 
 def normals_from_depth(depth: jnp.ndarray, K_inv: jnp.ndarray) -> jnp.ndarray:

@@ -151,9 +151,15 @@ def sweep_coordinates(
     ys = jnp.arange(H, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
     ones = jnp.ones_like(gx)
-    pix = jnp.stack([gx, gy, ones], axis=-1)  # [H, W, 3]
 
-    ray = pix @ R.T  # [H, W, 3] — direction part
+    # ray = pix @ R.T, spelled ELEMENTWISE: a matmul here goes through the
+    # TPU MXU whose f32 operands are fed as bf16 — pixel coordinates >= 2^8
+    # lose low mantissa bits, i.e. up to +-1 px coordinate error (measured
+    # on-chip; the VPU elementwise path is exact f32)
+    ray = jnp.stack(
+        [R[a, 0] * gx + R[a, 1] * gy + R[a, 2] * ones for a in range(3)],
+        axis=-1,
+    )  # [H, W, 3] — direction part
     if depths.ndim == 1:
         d = depths[:, None, None]
     else:

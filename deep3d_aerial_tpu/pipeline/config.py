@@ -64,6 +64,9 @@ class PipelineConfig:
 
     # CREATEMESH
     run_create_mesh: bool = True
+    # 'auto' | 'graphcut3d' | '2.5d' — auto prefers the visibility-driven
+    # 3D Delaunay + graph-cut core (native) when the .mvs scene exists
+    mesh_method: str = "auto"
     recons_insert_distance: float = 1.5
     recons_decimate_ratio: float = 1.0
     refine_decimate_ratio: float = 1.0
@@ -105,7 +108,8 @@ class PipelineConfig:
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
                        "photomatric_threshold", "position_threshold",
                        "depth_threshold", "normal_threshold", "pc_format"],
-            "CREATEMESH": ["run_create_mesh", "recons_insert_distance",
+            "CREATEMESH": ["run_create_mesh", "mesh_method",
+                           "recons_insert_distance",
                            "recons_decimate_ratio", "refine_decimate_ratio",
                            "texture_decimate_ratio", "refine_scale_times"],
             "CREATEDSM": ["run_create_dsm", "dsm_source", "pc_select_method",
@@ -159,6 +163,7 @@ class PipelineConfig:
             },
             "CREATEMESH": {
                 "run_create_mesh": self.run_create_mesh,
+                "mesh_method": self.mesh_method,
                 "recons_insert_distance": self.recons_insert_distance,
                 "recons_decimate_ratio": self.recons_decimate_ratio,
                 "refine_decimate_ratio": self.refine_decimate_ratio,

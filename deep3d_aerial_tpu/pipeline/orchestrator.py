@@ -362,7 +362,7 @@ class AerialPipeline:
     def create_mesh(self) -> List[str]:
         """ReconstructMesh + RefineMesh equivalents per fused block
         (reference run_mesh pipeline, createmesh.py:145-172)."""
-        from ..mesh import MeshConfig, create_mesh_from_ply
+        from ..mesh import MeshConfig, create_mesh_from_scene
         from ..mesh.refine import RefineConfig, refine_mesh_file
 
         cfg = self.cfg
@@ -372,12 +372,17 @@ class AerialPipeline:
                 continue
             src = _join(self.fusion_path, fname)
             dst = _join(self.mesh_path, fname.replace(".ply", "_mesh.ply"))
-            create_mesh_from_ply(
+            # prefer the visibility-driven graph-cut core when the block's
+            # .mvs scene exists (OpenMVS ReconstructMesh equivalent)
+            mvs_path = _join(self.fusion_path, fname.replace(".ply", ".mvs"))
+            create_mesh_from_scene(
                 src, dst,
                 MeshConfig(
                     insert_distance=cfg.recons_insert_distance,
                     decimate_ratio=cfg.recons_decimate_ratio,
                 ),
+                mvs_path=mvs_path,
+                method=cfg.mesh_method,
             )
             if cfg.refine_scale_times > 0:
                 refined = _join(

@@ -76,3 +76,53 @@ def grid_decimate_indices(points: np.ndarray, spacing: float) -> Optional[np.nda
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out[:n]
+
+
+def reconstruct_mesh_native(
+    points: np.ndarray,          # [N, 3] float
+    vis_values: np.ndarray,      # CSR camera indices (int32)
+    vis_offsets: np.ndarray,     # [N+1] int64
+    cam_centers: np.ndarray,     # [M, 3] float
+    alpha_vis: float = 1.0,
+    inside_w: float = 2.0,
+    min_component: int = 20,
+) -> Optional[np.ndarray]:
+    """Visibility-driven 3D Delaunay + graph-cut surface (the OpenMVS
+    ReconstructMesh equivalent, native/delaunay_mesh.cc) -> [T, 3] int32
+    triangle indices into `points`, or None if the library isn't built."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "d3d_reconstruct_mesh"):
+        return None
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.d3d_reconstruct_mesh.restype = ctypes.c_int
+    lib.d3d_reconstruct_mesh.argtypes = [
+        c_dp, ctypes.c_int, c_i32p, c_i64p, c_dp, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.d3d_free.restype = None
+    lib.d3d_free.argtypes = [ctypes.c_void_p]
+
+    pts = np.ascontiguousarray(points, np.float64)
+    vals = np.ascontiguousarray(vis_values, np.int32)
+    offs = np.ascontiguousarray(vis_offsets, np.int64)
+    cams = np.ascontiguousarray(cam_centers, np.float64)
+    out_tris = ctypes.POINTER(ctypes.c_int32)()
+    out_n = ctypes.c_int64(0)
+    rc = lib.d3d_reconstruct_mesh(
+        pts.ctypes.data_as(c_dp), pts.shape[0],
+        vals.ctypes.data_as(c_i32p), offs.ctypes.data_as(c_i64p),
+        cams.ctypes.data_as(c_dp), cams.shape[0],
+        float(alpha_vis), float(inside_w), int(min_component),
+        ctypes.byref(out_tris), ctypes.byref(out_n),
+    )
+    if rc != 0 or out_n.value == 0:
+        if out_tris:
+            lib.d3d_free(out_tris)
+        return np.zeros((0, 3), np.int32) if rc == 0 else None
+    tris = np.ctypeslib.as_array(out_tris, shape=(out_n.value, 3)).copy()
+    lib.d3d_free(out_tris)
+    return tris

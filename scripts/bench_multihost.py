@@ -34,7 +34,7 @@ def main():
             ws = base / f"ws_n{n}_{attempt}"
             if ws.exists():
                 shutil.rmtree(ws)
-            build_synthetic_workspace(ws)
+            build_synthetic_workspace(ws, n_grid=5)
             cfg = PipelineConfig(
                 image_w=96, image_h=64, image_scale=1.0,
                 scene_block_size=[40.0, 40.0, 120.0], block_overlap=2.0,

@@ -150,3 +150,104 @@ def test_vertex_normals_flat():
     n = vertex_normals(verts, faces)
     assert np.allclose(np.abs(n[:, 2]), 1.0, atol=1e-5)
     assert (n[:, 2] > 0).all()  # upward-oriented
+
+
+def _building_scene(rng):
+    """Box building (10x10x8) on a ground plane + oblique camera ring:
+    points on the 4 VERTICAL walls, the roof, and the ground, each seen by
+    the cameras facing it."""
+    pts, nrm = [], []
+    n_side = 300
+    for axis, sign in [(0, 1), (0, -1), (1, 1), (1, -1)]:  # walls
+        u = rng.uniform(-5, 5, n_side)
+        z = rng.uniform(0, 8, n_side)
+        p = np.zeros((n_side, 3))
+        p[:, axis] = 5.0 * sign
+        p[:, 1 - axis] = u
+        p[:, 2] = z
+        pts.append(p)
+        n = np.zeros((n_side, 3))
+        n[:, axis] = sign
+        nrm.append(n)
+    roof = np.column_stack([rng.uniform(-5, 5, n_side),
+                            rng.uniform(-5, 5, n_side),
+                            np.full(n_side, 8.0)])
+    pts.append(roof)
+    nrm.append(np.tile([0, 0, 1.0], (n_side, 1)))
+    gr = np.column_stack([rng.uniform(-15, 15, 2 * n_side),
+                          rng.uniform(-15, 15, 2 * n_side),
+                          np.zeros(2 * n_side)])
+    keep = np.abs(gr[:, :2]).max(1) > 5.5
+    pts.append(gr[keep])
+    nrm.append(np.tile([0, 0, 1.0], (keep.sum(), 1)))
+    pts = np.concatenate(pts)
+    nrm = np.concatenate(nrm)
+
+    n_cam = 12
+    ang = np.linspace(0, 2 * np.pi, n_cam, endpoint=False)
+    cams = np.column_stack([25 * np.cos(ang), 25 * np.sin(ang),
+                            np.full(n_cam, 18.0)])
+
+    vis_vals, vis_counts = [], []
+    for p, n in zip(pts, nrm):
+        d = cams - p
+        d = d / np.linalg.norm(d, axis=1, keepdims=True)
+        facing = d @ n > 0.25
+        ids = np.nonzero(facing)[0][:4]
+        if len(ids) == 0:
+            ids = np.argsort(-(d @ n))[:2]
+        vis_vals += ids.tolist()
+        vis_counts.append(len(ids))
+    return pts, nrm, cams, (np.array(vis_vals, np.int32),
+                            np.array(vis_counts, np.int64))
+
+
+def test_graphcut_reconstructs_vertical_facades(tmp_path, rng):
+    """Oblique-scene capability the 2.5D heightfield provably lacks:
+    vertical building walls must appear as near-vertical surface
+    triangles (reference: OpenMVS ReconstructMesh, createmesh.py:50-79)."""
+    from deep3d_aerial_tpu.utils.native import (
+        load_native, reconstruct_mesh_native,
+    )
+
+    if load_native() is None:
+        import pytest
+
+        pytest.skip("native mesh core not built")
+
+    pts, nrm, cams, (vals, counts) = _building_scene(rng)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    tris = reconstruct_mesh_native(pts, vals, offs, cams,
+                                   alpha_vis=1.0, inside_w=2.0,
+                                   min_component=20)
+    assert tris is not None and len(tris) > 200
+
+    v = pts[tris]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    fn = np.cross(e1, e2)
+    fn /= np.linalg.norm(fn, axis=1, keepdims=True) + 1e-12
+    vertical = np.abs(fn[:, 2]) < 0.3
+    # a solid fraction of the surface is near-vertical wall
+    assert vertical.mean() > 0.2, f"vertical fraction {vertical.mean():.3f}"
+
+    # wall faces sit on the walls: |max(|x|,|y|) - 5| small at wall height
+    c = v.mean(1)
+    on_wall = vertical & (c[:, 2] > 0.5) & (c[:, 2] < 7.5)
+    if on_wall.sum():
+        d_wall = np.abs(np.abs(c[on_wall][:, :2]).max(1) - 5.0)
+        assert np.median(d_wall) < 0.5
+
+    # the 2.5D path on the same points CANNOT produce vertical faces
+    from deep3d_aerial_tpu.mesh import MeshConfig, delaunay_mesh_25d
+
+    verts25, faces25, _ = delaunay_mesh_25d(pts, MeshConfig(
+        insert_distance=0.8))
+    if len(faces25):
+        v25 = verts25[faces25]
+        fn25 = np.cross(v25[:, 1] - v25[:, 0], v25[:, 2] - v25[:, 0])
+        fn25 /= np.linalg.norm(fn25, axis=1, keepdims=True) + 1e-12
+        vert25 = (np.abs(fn25[:, 2]) < 0.3).mean()
+        # the heightfield's few "vertical" faces are wall-collapse slivers;
+        # the graph-cut surface must be categorically more wall-rich
+        assert vertical.mean() > 2 * vert25, (vertical.mean(), vert25)

@@ -49,9 +49,9 @@ def render_view(pose, K):
     return np.clip(img * 255, 0, 255).astype(np.uint8)
 
 
-def build_synthetic_workspace(ws):
+def build_synthetic_workspace(ws, n_grid=N_GRID):
     """Build the tiny synthetic COLMAP workspace under `ws` (reused by the
-    multihost driver test)."""
+    multihost driver test and scaling bench)."""
     ws.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(3)
     K = np.array([[110.0, 0, W_IMG / 2], [0, 110.0, H_IMG / 2], [0, 0, 1]])
@@ -59,10 +59,11 @@ def build_synthetic_workspace(ws):
     # camera grid, nadir with small jitter
     poses = {}
     iid = 1
-    for gy in range(N_GRID):
-        for gx in range(N_GRID):
+    for gy in range(n_grid):
+        for gx in range(n_grid):
             R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
-            c = np.array([gx * 12.0 - 12, gy * 12.0 - 12, 100.0])
+            c = np.array([(gx - (n_grid - 1) / 2) * 12.0,
+                          (gy - (n_grid - 1) / 2) * 12.0, 100.0])
             poses[iid] = Pose(R_down, -R_down @ c)
             iid += 1
 
