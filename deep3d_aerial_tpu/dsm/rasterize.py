@@ -149,6 +149,16 @@ def rasterize_mesh(
 ) -> np.ndarray:
     """Rasterize a triangle mesh to a max-z DSM via per-triangle coverage."""
     rows, cols = _grid_shape(bbx, cfg)
+
+    # native fast path (C++, native/dsm_reduce.cc rasterize_mesh_max)
+    from ..utils.native import rasterize_mesh_native
+
+    if len(faces):
+        native = rasterize_mesh_native(
+            vertices[faces], bbx, cfg.cell_size, (rows, cols), cfg.nodata)
+        if native is not None:
+            return native
+
     grid = np.full((rows, cols), -np.inf, np.float64)
     dx, dy = cfg.cell_size
 

@@ -141,3 +141,91 @@ def avgpool_branch(x, pool: int, features: int, norm: str, dtype, name: str):
     y = ConvBlock(features, kernel=1, norm=norm, dtype=dtype, name=name)(y)
     y = jax.image.resize(y, (*y.shape[:-3], H, W, y.shape[-1]), method="bilinear")
     return y
+
+
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM cell (reference module.py:100-135): one fused
+    4-gate conv over [x, h]; returns (h_new, c_new, o)."""
+
+    hidden: int
+    kernel: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        k = (self.kernel, self.kernel)
+        gates = nn.Conv(4 * self.hidden, k, padding="SAME", dtype=self.dtype,
+                        name="gates")(jnp.concatenate([x, h], axis=-1))
+        ai, af, ao, ag = jnp.split(gates, 4, axis=-1)
+        i = nn.sigmoid(ai)
+        f = nn.sigmoid(af)
+        o = nn.sigmoid(ao)
+        g = jnp.tanh(ag)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return h_new, c_new, o
+
+
+class DeformConv2d(nn.Module):
+    """Modulated deformable convolution v2 (reference module.py:350-448):
+    a 3x3 conv whose kxk taps are shifted by learned per-pixel offsets
+    (bilinear-sampled) and scaled by learned modulation masks. NHWC
+    functional form: sample the k*k deformed taps, stack them into the
+    channel dim, and apply the weight as a 1x1 grouped contraction —
+    the gather is vectorized jnp (no per-tap python loops at trace time
+    beyond the static k*k)."""
+
+    features: int
+    kernel: int = 3
+    modulation: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W, C = x.shape[-3:]
+        k = self.kernel
+        N = k * k
+        off = nn.Conv(2 * N, (3, 3), padding="SAME", dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      name="p_conv")(x)  # [.., H, W, 2N] (dy, dx packed)
+        if self.modulation:
+            m = nn.sigmoid(nn.Conv(N, (3, 3), padding="SAME",
+                                   dtype=self.dtype,
+                                   kernel_init=nn.initializers.zeros,
+                                   name="m_conv")(x))
+        gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32),
+                              indexing="ij")
+        r = (k - 1) / 2.0
+        taps = []
+        for t in range(N):
+            ky, kx = t // k - r, t % k - r
+            py = gy + ky + off[..., t]
+            px = gx + kx + off[..., N + t]
+            py = jnp.clip(py, 0.0, H - 1.0)
+            px = jnp.clip(px, 0.0, W - 1.0)
+            y0 = jnp.floor(py)
+            x0 = jnp.floor(px)
+            fy = py - y0
+            fx = px - x0
+            y0 = y0.astype(jnp.int32)
+            x0 = x0.astype(jnp.int32)
+            y1 = jnp.minimum(y0 + 1, H - 1)
+            x1 = jnp.minimum(x0 + 1, W - 1)
+            flat = x.reshape(-1, C)
+
+            def tap(yi, xi):
+                return jnp.take(flat, (yi * W + xi).reshape(-1),
+                                axis=0).reshape(H, W, C)
+
+            v = ((1 - fy) * (1 - fx))[..., None] * tap(y0, x0) \
+                + ((1 - fy) * fx)[..., None] * tap(y0, x1) \
+                + (fy * (1 - fx))[..., None] * tap(y1, x0) \
+                + (fy * fx)[..., None] * tap(y1, x1)
+            if self.modulation:
+                v = v * m[..., t:t + 1]
+            taps.append(v)
+        stacked = jnp.concatenate(taps, axis=-1)  # [H, W, N*C]
+        # the deformable conv's kxk weight applied as 1x1 over stacked taps
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="w")(stacked)

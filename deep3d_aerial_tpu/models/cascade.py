@@ -198,14 +198,18 @@ def chunk_costs(
     build (also the oracle)."""
     def xla_costs():
         if cost_mode == "variance":
-            return jax.vmap(
+            out = jax.vmap(
                 lambda d: variance_cost_plane(
                     ref_feat, src_feats, rel_projs, d)
             )(depth_chunk)
-        return jax.vmap(
-            lambda d: correlation_cost_plane(
-                ref_feat, src_feats, rel_projs, d, weights)
-        )(depth_chunk)
+        else:
+            out = jax.vmap(
+                lambda d: correlation_cost_plane(
+                    ref_feat, src_feats, rel_projs, d, weights)
+            )(depth_chunk)
+        # weight/variance math may promote bf16 features to f32; both
+        # lax.cond branches must agree with the feature dtype
+        return out.astype(ref_feat.dtype)
 
     H, W = ref_feat.shape[:2]
     if warp_impl != "pallas" or not _pallas_tile_ok(H, W):

@@ -47,6 +47,7 @@ def make_train_step(
     stage_weights: Sequence[float] = (0.5, 1.0, 2.0),
     pair_weight: float = 1.0,
     normal_weight: float = 0.0,
+    gt_pyramid: bool = False,
     mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Returns jitted step(params, opt_state, batch) -> (params, opt_state, logs).
@@ -71,10 +72,26 @@ def make_train_step(
 
         def one(imgs, rel_projs, dmin, dmax, gt, mask, normal_gt, K_inv):
             out = model.apply(params, imgs, rel_projs, dmin, dmax)
+            if gt_pyramid:
+                # true multi-scale GT pyramid (/4, /2, x1 — reference
+                # cas_rscv.py:586-594): each stage supervises at its own
+                # resolution; nearest keeps depths unmixed across edges
+                gts, masks = [], []
+                for s in range(num_stages):
+                    f = 2 ** (num_stages - 1 - s)
+                    shp = (gt.shape[0] // f, gt.shape[1] // f)
+                    gts.append(jax.image.resize(gt, shp, method="nearest"))
+                    masks.append(
+                        jax.image.resize(mask, shp, method="nearest"))
+            else:
+                # full-res GT at every stage (reference cas_whu_omvs
+                # :570-586)
+                gts = [gt] * num_stages
+                masks = [mask] * num_stages
             logs = cascade_depth_loss(
                 out,
-                [gt] * num_stages,
-                [mask] * num_stages,
+                gts,
+                masks,
                 stage_weights=stage_weights,
                 pair_weight=pair_weight,
                 normal_gt=normal_gt,

@@ -252,3 +252,127 @@ class WHUOMVSDataset:
                     [s.normal_gt for s in samples])
                 batch["K_inv"] = np.stack([s.K_inv for s in samples])
             yield batch
+
+
+def read_blendedmvs_cam(path) -> Tuple[np.ndarray, np.ndarray, float, float]:
+    """Standard MVSNet/BlendedMVS cam txt ('extrinsic' + 4x4 Tcw direct,
+    'intrinsic' + 3x3 K, 'dmin dinterval dnum dmax' — reference
+    tr_read_blendedmvs_cam, cas_rscv.py:387-417) ->
+    (T_cw [4,4], K [3,3], dmin, dmax)."""
+    words = open(path).read().split()
+    T_cw = np.array(words[1:17], dtype=np.float64).reshape(4, 4)
+    K = np.array(words[18:27], dtype=np.float64).reshape(3, 3)
+    dmin = float(words[27])
+    dmax = float(words[30]) if len(words) > 30 else (
+        dmin + float(words[28]) * float(words[29]))
+    return T_cw, K, dmin, dmax
+
+
+class BlendedMVSDataset(WHUOMVSDataset):
+    """BlendedMVS-layout training set (reference BlendedMVS_list,
+    cas_rscv.py:195-240):
+
+      root/index.txt                          scan list
+      <scan>/blended_images/%08d.jpg          RGB views
+      <scan>/cams/%08d_cam.txt                MVSNet cam txt (Tcw direct)
+      <scan>/cams/pair.txt                    'N; ref; k src score ...'
+      <scan>/rendered_depth_maps/%08d.pfm     GT depth
+    """
+
+    def __init__(self, data_folder: str, view_num: int = 5,
+                 normalize: str = "mean", max_h: int = 0, max_w: int = 0,
+                 num_stages: int = 3, augment: bool = False, seed: int = 0):
+        self.data_folder = data_folder
+        self.view_num = view_num
+        self.normalize = normalize
+        self.max_h = max_h
+        self.max_w = max_w
+        self.num_stages = num_stages
+        self.with_normals = False
+        self.gt_format = "pfm"
+        self.augment = augment
+        self._aug_rng = np.random.default_rng(seed)
+
+        self.samples = []
+        index_path = os.path.join(data_folder, "index.txt")
+        scans = (open(index_path).read().split()
+                 if os.path.exists(index_path) else [])
+        for scan in scans:
+            pair_path = os.path.join(data_folder, scan, "cams", "pair.txt")
+            with open(pair_path) as f:
+                n = int(f.readline())
+                for _ in range(n):
+                    ref = int(f.readline().strip())
+                    srcs = [int(x) for x in f.readline().split()[1::2]]
+                    srcs = srcs[: view_num - 1]
+                    if srcs:
+                        if len(srcs) < view_num - 1:
+                            srcs += [srcs[0]] * (view_num - 1 - len(srcs))
+                        self.samples.append((scan, ref, srcs, None))
+
+    def build(self, idx: int) -> TrainSample:
+        import cv2
+
+        scan, ref, srcs, _ = self.samples[idx]
+        view_ids = [ref] + srcs
+        root = os.path.join(self.data_folder, scan)
+
+        imgs, projs = [], []
+        dmin = dmax = 0.0
+        ref_K = None
+        gt_window = None
+        for v, vid in enumerate(view_ids):
+            img = cv2.imread(
+                os.path.join(root, "blended_images", f"{vid:08d}.jpg"))
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            T_cw, K, d0, d1 = read_blendedmvs_cam(
+                os.path.join(root, "cams", f"{vid:08d}_cam.txt"))
+            if self.max_h and self.max_w:
+                from ..geometry.camera import Camera
+
+                cam = Camera(0, img.shape[1], img.shape[0],
+                             K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+                if v == 0:
+                    gt_window = preprocess.crop_window(
+                        img.shape[0], img.shape[1], self.max_h, self.max_w)
+                img, cam = preprocess.crop_to_network(
+                    img, cam, self.max_h, self.max_w)
+                K = cam.K
+            if v == 0:
+                ref_K = K.copy()
+                dmin, dmax = d0, d1
+            P = T_cw.copy()
+            P[:3, :4] = K @ P[:3, :4]
+            projs.append(P)
+            if self.augment:
+                from ..pipeline.augment import random_photometric
+
+                img = random_photometric(img.astype(np.uint8), self._aug_rng)
+            imgs.append(preprocess.center_image(img, self.normalize))
+
+        from ..io.pfm import read_pfm
+
+        depth = read_pfm(
+            os.path.join(root, "rendered_depth_maps", f"{ref:08d}.pfm"))[0]
+        mask = depth > 0
+        depth = depth.astype(np.float32)
+        depth[~mask] = 0.0
+
+        H, W = imgs[0].shape[:2]
+        if gt_window is not None:
+            sh, sw, H, W = gt_window
+        else:
+            sh = sw = 0
+        depth = depth[sh:sh + H, sw:sw + W]
+        mask = mask[sh:sh + H, sw:sw + W]
+
+        rel = stage_relative_projections(np.stack(projs), self.num_stages)
+        return TrainSample(
+            imgs=np.stack(imgs).astype(np.float32),
+            rel_projs=rel.astype(np.float32),
+            depth_min=float(dmin),
+            depth_max=float(dmax),
+            depth_gt=depth,
+            mask=mask.astype(np.float32),
+            K_inv=np.linalg.inv(ref_K).astype(np.float32),
+        )

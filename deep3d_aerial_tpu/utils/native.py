@@ -126,3 +126,31 @@ def reconstruct_mesh_native(
     tris = np.ctypeslib.as_array(out_tris, shape=(out_n.value, 3)).copy()
     lib.d3d_free(out_tris)
     return tris
+
+
+def rasterize_mesh_native(
+    tri_xyz: np.ndarray,  # [F, 3, 3] triangle vertices
+    bbx, cell, shape, nodata: float,
+) -> Optional[np.ndarray]:
+    """Native max-z triangle rasterization (dsm/rasterize hot loop);
+    None if the library isn't built."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "rasterize_mesh_max"):
+        return None
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    lib.rasterize_mesh_max.restype = ctypes.c_int64
+    lib.rasterize_mesh_max.argtypes = [
+        c_dp, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, c_f32p,
+    ]
+    tris = np.ascontiguousarray(tri_xyz, np.float64)
+    rows, cols = shape
+    grid = np.empty(rows * cols, np.float32)
+    lib.rasterize_mesh_max(
+        tris.ctypes.data_as(c_dp), tris.shape[0],
+        float(bbx[0]), float(bbx[3]), float(cell[0]), float(cell[1]),
+        rows, cols, np.float32(nodata), grid.ctypes.data_as(c_f32p),
+    )
+    return grid.reshape(rows, cols)

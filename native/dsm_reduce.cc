@@ -122,3 +122,47 @@ int64_t grid_decimate(const float* xyz, int64_t n_points, double spacing,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Triangle-mesh max-z rasterization (the hot loop of DSM-from-mesh;
+// replaces the per-triangle Python loop in dsm/rasterize.py).
+// tris: [nf*9] (x0,y0,z0, x1,y1,z1, x2,y2,z2); grid row 0 = bbx ymax edge.
+extern "C" int64_t rasterize_mesh_max(
+    const double *tris, int64_t nf,
+    double xmin, double ymax, double dx, double dy,
+    int64_t rows, int64_t cols, float nodata, float *grid /* rows*cols */) {
+  for (int64_t i = 0; i < rows * cols; i++) grid[i] = nodata;
+  int64_t hits = 0;
+  for (int64_t f = 0; f < nf; f++) {
+    const double *t = tris + 9 * f;
+    double x1 = t[0], y1 = t[1], z1 = t[2];
+    double x2 = t[3], y2 = t[4], z2 = t[5];
+    double x3 = t[6], y3 = t[7], z3 = t[8];
+    double txmin = std::min({x1, x2, x3}), txmax = std::max({x1, x2, x3});
+    double tymin = std::min({y1, y2, y3}), tymax = std::max({y1, y2, y3});
+    int64_t ix0 = std::max<int64_t>(0, (int64_t)std::floor((txmin - xmin) / dx));
+    int64_t ix1 = std::min<int64_t>(cols - 1,
+                                    (int64_t)std::floor((txmax - xmin) / dx));
+    int64_t iy0 = std::max<int64_t>(0, (int64_t)std::floor((ymax - tymax) / dy));
+    int64_t iy1 = std::min<int64_t>(rows - 1,
+                                    (int64_t)std::floor((ymax - tymin) / dy));
+    if (ix1 < ix0 || iy1 < iy0) continue;
+    double den = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3);
+    if (std::abs(den) < 1e-12) continue;
+    for (int64_t iy = iy0; iy <= iy1; iy++) {
+      double cy = ymax - (iy + 0.5) * dy;
+      for (int64_t ix = ix0; ix <= ix1; ix++) {
+        double cx = xmin + (ix + 0.5) * dx;
+        double l1 = ((y2 - y3) * (cx - x3) + (x3 - x2) * (cy - y3)) / den;
+        double l2 = ((y3 - y1) * (cx - x3) + (x1 - x3) * (cy - y3)) / den;
+        double l3 = 1.0 - l1 - l2;
+        if (l1 < -1e-9 || l2 < -1e-9 || l3 < -1e-9) continue;
+        float z = (float)(l1 * z1 + l2 * z2 + l3 * z3);
+        float &g = grid[iy * cols + ix];
+        if (g == nodata || z > g) g = z;
+        hits++;
+      }
+    }
+  }
+  return hits;
+}

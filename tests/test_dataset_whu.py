@@ -133,3 +133,43 @@ def test_gt_cropped_with_same_window_as_image(tmp_path, rng):
     yy, xx = np.mgrid[16:16 + 64, 32:32 + 96]
     expected = (yy * 1000 + xx).astype(np.float32) + 1.0
     assert np.array_equal(s.depth_gt, expected)
+
+
+def test_blendedmvs_layout(tmp_path, rng):
+    """BlendedMVS-layout loader: MVSNet cam txt (Tcw direct), pair.txt,
+    %08d naming (reference BlendedMVS_list, cas_rscv.py:195-240)."""
+    import cv2
+
+    from deep3d_aerial_tpu.train.dataset_whu import BlendedMVSDataset
+
+    root = tmp_path / "bmvs"
+    scan = root / "scan1"
+    for sub in ["blended_images", "cams", "rendered_depth_maps"]:
+        (scan / sub).mkdir(parents=True)
+    (root / "index.txt").write_text("scan1\n")
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    for i in range(3):
+        img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        cv2.imwrite(str(scan / "blended_images" / f"{i:08d}.jpg"), img)
+        pose = random_pose(rng)
+        T = pose.T_cw
+        with open(scan / "cams" / f"{i:08d}_cam.txt", "w") as f:
+            f.write("extrinsic\n")
+            for r in range(4):
+                f.write(" ".join(str(T[r, c]) for c in range(4)) + "\n")
+            f.write("\nintrinsic\n")
+            for r in range(3):
+                f.write(" ".join(str(K[r, c]) for c in range(3)) + "\n")
+            f.write("\n80.0 0.5 80 120.0\n")
+        depth = rng.uniform(80, 120, (H, W)).astype(np.float32)
+        write_pfm(scan / "rendered_depth_maps" / f"{i:08d}.pfm", depth)
+    with open(scan / "cams" / "pair.txt", "w") as f:
+        f.write("1\n0\n2 1 100 2 80\n")
+
+    ds = BlendedMVSDataset(str(root), view_num=3)
+    assert len(ds) == 1
+    s = ds.build(0)
+    assert s.imgs.shape == (3, H, W, 3)
+    assert s.depth_min == 80.0 and s.depth_max == 120.0
+    assert s.depth_gt.shape == (H, W)
+    assert s.K_inv is not None

@@ -93,3 +93,38 @@ def test_tfw(tmp_path):
     assert float(lines[3]) == -0.5
     assert float(lines[4]) == 100.25  # center of first pixel
     assert float(lines[5]) == 199.75
+
+
+def test_mesh_rasterize_native_matches_python(rng, monkeypatch):
+    """Native rasterize_mesh_max agrees with the Python fallback."""
+    from deep3d_aerial_tpu.dsm.rasterize import DSMConfig, rasterize_mesh
+    from deep3d_aerial_tpu.utils import native as native_mod
+    from deep3d_aerial_tpu.utils.native import (
+        load_native, rasterize_mesh_native,
+    )
+
+    if load_native() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+
+    cfg = DSMConfig(cell_size=(1.0, 1.0))
+    verts = np.column_stack([
+        rng.uniform(0, 20, 60), rng.uniform(0, 20, 60),
+        rng.uniform(1, 5, 60)]).astype(np.float64)
+    from scipy.spatial import Delaunay
+
+    faces = Delaunay(verts[:, :2]).simplices.astype(np.int32)
+    bbx = [0, 20, 0, 20, 0, 10]
+    rows = cols = 20
+
+    native = rasterize_mesh_native(
+        verts[faces], bbx, cfg.cell_size, (rows, cols), cfg.nodata)
+    # force the pure-Python branch for the comparison side
+    monkeypatch.setattr(native_mod, "rasterize_mesh_native",
+                        lambda *a, **k: None)
+    full = rasterize_mesh(verts, faces, bbx, cfg)
+    assert native.shape == full.shape
+    both = (native != cfg.nodata) & (full != cfg.nodata)
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(native[both], full[both], atol=1e-4)

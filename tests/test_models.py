@@ -149,3 +149,56 @@ def test_window_confidence_matches_naive(rng):
             idx = int(np.clip((prob[:, y, x] * np.arange(D)).sum(), 0, D - 1))
             expected = padded[idx:idx + 4, y, x].sum()
             assert np.isclose(out[y, x], expected, atol=1e-5), (y, x)
+
+
+def test_convlstm_cell_gates(rng):
+    """ConvLSTM parity block (reference module.py:100-135)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep3d_aerial_tpu.models.blocks import ConvLSTMCell
+
+    H, W, C = 8, 8, 4
+    cell = ConvLSTMCell(hidden=C)
+    x = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    h = jnp.zeros((H, W, C))
+    c = jnp.zeros((H, W, C))
+    params = cell.init(jax.random.PRNGKey(0), x, h, c)
+    h1, c1, o = cell.apply(params, x, h, c)
+    assert h1.shape == c1.shape == o.shape == (H, W, C)
+    # |h| <= |tanh(c)| * sigmoid in (0, 1)
+    assert np.all(np.abs(np.asarray(h1)) <= np.abs(np.tanh(np.asarray(c1))) + 1e-6)
+    # recurrent state evolves
+    h2, c2, _ = cell.apply(params, x, h1, c1)
+    assert not np.allclose(np.asarray(h1), np.asarray(h2))
+
+
+def test_deform_conv_zero_offsets_match_plain(rng):
+    """With zero-initialized offset/mask convs, DeformConv2d at init is a
+    plain 3x3 conv with sigmoid(0)=0.5 modulation (reference
+    module.py:350-448 behavior)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep3d_aerial_tpu.models.blocks import DeformConv2d
+
+    H, W, C = 10, 12, 3
+    x = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    mod = DeformConv2d(features=5)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    y = mod.apply(params, x)
+    assert y.shape == (H, W, 5)
+
+    # manual check: taps = shifted clones of x * 0.5 contracted by w
+    w = np.asarray(params["params"]["w"]["kernel"])[0, 0]  # [9C, 5]
+    b = np.asarray(params["params"]["w"]["bias"])
+    taps = []
+    xp = np.asarray(x)
+    for t in range(9):
+        ky, kx = t // 3 - 1, t % 3 - 1
+        gy = np.clip(np.arange(H)[:, None] + ky, 0, H - 1)
+        gx = np.clip(np.arange(W)[None, :] + kx, 0, W - 1)
+        taps.append(xp[gy, gx] * 0.5)
+    stacked = np.concatenate(taps, -1)
+    expect = stacked @ w + b
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-5)
