@@ -36,6 +36,9 @@ class PipelineConfig:
     num_depth: int = 384
     min_interval: float = 0.1
     model_type: str = "adamvs"
+    # cascade hypothesis counts; None -> the model's default (48, 32, 8).
+    # Must match the trained checkpoint's architecture.
+    ndepths: Optional[Sequence[int]] = None
     pretrain_weight: Optional[str] = None
     # Explicit opt-in to run inference from random weights (capability /
     # shape testing only — outputs are statistically garbage). Without it,
@@ -102,7 +105,7 @@ class PipelineConfig:
                               "scene_block_size", "block_overlap",
                               "bbx_border_scene"],
             "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
-                           "model_type", "pretrain_weight",
+                           "model_type", "ndepths", "pretrain_weight",
                            "allow_random_weights", "display_depth",
                            "warp_precision", "save_normals"],
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
@@ -145,6 +148,7 @@ class PipelineConfig:
                 "run_mvs": self.run_mvs, "view_num": self.view_num,
                 "num_depth": self.num_depth, "min_interval": self.min_interval,
                 "model_type": self.model_type,
+                "ndepths": list(self.ndepths) if self.ndepths else None,
                 "pretrain_weight": self.pretrain_weight,
                 "allow_random_weights": self.allow_random_weights,
                 "display_depth": self.display_depth,

@@ -135,7 +135,10 @@ class AerialPipeline:
         if len(ds) == 0:
             return
 
-        model = build_model(cfg.model_type, num_depth=cfg.num_depth)
+        kwargs = {"num_depth": cfg.num_depth}
+        if cfg.ndepths:
+            kwargs["ndepths"] = tuple(int(x) for x in cfg.ndepths)
+        model = build_model(cfg.model_type, **kwargs)
         sample0 = ds.build(0)
         if params is None:
             params = self._load_params(model, sample0)

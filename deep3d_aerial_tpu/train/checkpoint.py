@@ -59,6 +59,45 @@ def restore_checkpoint(path: str) -> dict:
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
 
 
+def export_params_npz(params: Any, path: str) -> str:
+    """Compact params-only artifact: flattened pytree -> one .npz file
+    (orbax dirs carry optimizer state and are bulky to ship)."""
+    import jax
+
+    flat = {}
+    for kpath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        flat[jax.tree_util.keystr(kpath)] = np.asarray(leaf)
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def restore_params_npz(path: str, like: Any = None) -> Any:
+    """Rebuild a params pytree from export_params_npz output. Without a
+    `like` template, rebuilds the nested dict from the key paths."""
+    data = np.load(path)
+    if like is not None:
+        import jax
+
+        leaves = [
+            data[jax.tree_util.keystr(kpath)]
+            for kpath, _ in jax.tree_util.tree_flatten_with_path(like)[0]
+        ]
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(like), leaves)
+    import re as _re
+
+    out: dict = {}
+    for key in data.files:
+        parts = _re.findall(r"\['([^']+)'\]", key)
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return out
+
+
 def restore_params(path: str) -> Any:
+    if str(path).endswith(".npz"):
+        return restore_params_npz(path)
     payload = restore_checkpoint(path)
     return payload["params"] if "params" in payload else payload

@@ -83,12 +83,14 @@ class Trainer:
         return self._writer
 
     def init(self, sample_batch: Dict[str, np.ndarray], seed: int = 0):
-        self.params = self.model.init(
+        # jit the init: unjitted tracing dispatches each primitive
+        # individually, which is pathological through a remote backend
+        self.params = jax.jit(self.model.init)(
             jax.random.PRNGKey(seed),
             jnp.asarray(sample_batch["imgs"][0]),
             jnp.asarray(sample_batch["rel_projs"][0]),
-            float(sample_batch["depth_min"][0]),
-            float(sample_batch["depth_max"][0]),
+            jnp.float32(sample_batch["depth_min"][0]),
+            jnp.float32(sample_batch["depth_max"][0]),
         )
         self.opt_state = self.tx.init(self.params)
 

@@ -60,14 +60,24 @@ def remap_ids(csr: VisibilityCSR, id_to_index: dict,
         return VisibilityCSR(np.zeros(0, out_dtype), csr.counts.copy())
     ids = np.fromiter(id_to_index.keys(), np.int64, len(id_to_index))
     idxs = np.fromiter(id_to_index.values(), np.int64, len(id_to_index))
-    order = np.argsort(ids)
-    ids, idxs = ids[order], idxs[order]
-
     vals = np.asarray(csr.values, np.int64)
-    pos = np.clip(np.searchsorted(ids, vals), 0, len(ids) - 1)
-    ok = ids[pos] == vals
+
+    id_max = int(ids.max())
+    if 0 <= int(ids.min()) and id_max < 1 << 22:
+        # dense lookup table: one gather per value (image ids are small)
+        lut = np.full(id_max + 2, -1, np.int64)
+        lut[ids] = idxs
+        safe = np.clip(vals, 0, id_max)
+        mapped = lut[safe]
+        ok = (vals >= 0) & (vals <= id_max) & (mapped >= 0)
+    else:
+        order = np.argsort(ids)
+        ids, idxs = ids[order], idxs[order]
+        pos = np.clip(np.searchsorted(ids, vals), 0, len(ids) - 1)
+        ok = ids[pos] == vals
+        mapped = idxs[pos]
     point_of = np.repeat(np.arange(len(csr.counts)), csr.counts)
     new_counts = np.bincount(
         point_of[ok], minlength=len(csr.counts)
     ).astype(np.int64)
-    return VisibilityCSR(idxs[pos][ok].astype(out_dtype), new_counts)
+    return VisibilityCSR(mapped[ok].astype(out_dtype), new_counts)

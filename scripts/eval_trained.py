@@ -1,0 +1,179 @@
+"""Accuracy loop closure: run the PIPELINE with the TRAINED checkpoint on a
+held-out synthetic scene and measure depth + fused-cloud quality vs GT —
+and vs the random-weights control.
+
+Run AFTER scripts/train_synthetic.py. Appends the table to docs/ACCURACY.md.
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_workspace(ws, scene_seed, n_grid=3):
+    from PIL import Image
+
+    from deep3d_aerial_tpu.geometry.camera import Pose, rotmat2qvec
+    from deep3d_aerial_tpu.io import text_formats as tf
+    from deep3d_aerial_tpu.sparse import colmap
+    from scripts.train_synthetic import render, terrain_z
+
+    W_IMG, H_IMG = 96, 64
+    os.makedirs(ws, exist_ok=True)
+    rng = np.random.default_rng(scene_seed)
+    K = np.array([[130.0, 0, W_IMG / 2], [0, 130.0, H_IMG / 2], [0, 0, 1.0]])
+
+    poses, gt_depths, iid = {}, {}, 1
+    img_dir = os.path.join(ws, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    for gy in range(n_grid):
+        for gx in range(n_grid):
+            R = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+            c = np.array([(gx - (n_grid - 1) / 2) * 10.0,
+                          (gy - (n_grid - 1) / 2) * 10.0, 100.0])
+            pose = Pose(R, -R @ c)
+            poses[iid] = pose
+            img, depth = render(pose, K, W_IMG, H_IMG, scene_seed)
+            gt_depths[iid] = depth
+            Image.fromarray(
+                (np.dstack([img] * 3) * 255).astype(np.uint8)
+            ).save(os.path.join(img_dir, f"im_{iid:02d}.png"))
+            iid += 1
+
+    # sparse points from GT depth back-projections (subsampled)
+    rng2 = np.random.default_rng(scene_seed + 1)
+    xyz = np.column_stack([
+        rng2.uniform(-25, 25, 4000), rng2.uniform(-25, 25, 4000),
+        np.zeros(4000)])
+    xyz[:, 2] = terrain_z(xyz[:, 0], xyz[:, 1], scene_seed)
+
+    tracks = {p: [] for p in range(len(xyz))}
+    imgobs = {i: [] for i in poses}
+    for i, pose in poses.items():
+        uv, d = pose.world_to_image(K, xyz)
+        vis = ((uv[:, 0] >= 0) & (uv[:, 0] < W_IMG) & (uv[:, 1] >= 0)
+               & (uv[:, 1] < H_IMG) & (d > 0))
+        for p in np.nonzero(vis)[0]:
+            tracks[p].append((i, len(imgobs[i])))
+            imgobs[i].append((uv[p], p))
+    points = {
+        p + 1: colmap.ColmapPoint3D(
+            p + 1, xyz[p], np.array([120, 120, 120], np.uint8), 0.4,
+            np.array([t[0] for t in tr], np.int64),
+            np.array([t[1] for t in tr], np.int64))
+        for p, tr in tracks.items() if len(tr) >= 2}
+    cameras = {1: colmap.ColmapCamera(
+        1, "PINHOLE", W_IMG, H_IMG,
+        np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]))}
+    images = {
+        i: colmap.ColmapImage(
+            i, rotmat2qvec(poses[i].R_cw), poses[i].t_cw, 1,
+            f"im_{i:02d}.png",
+            np.array([uv for uv, _ in imgobs[i]]).reshape(-1, 2),
+            np.array([p + 1 if p + 1 in points else -1
+                      for _, p in imgobs[i]], np.int64))
+        for i in poses}
+    sp = os.path.join(ws, "sparse")
+    os.makedirs(sp, exist_ok=True)
+    colmap.write_model(cameras, images, points, sp)
+    export = os.path.join(ws, "export")
+    os.makedirs(export, exist_ok=True)
+    tf.write_image_paths(
+        os.path.join(export, "image_path.txt"),
+        [(i, f"im_{i:02d}.png", os.path.join(img_dir, f"im_{i:02d}.png"))
+         for i in poses])
+    return gt_depths, scene_seed
+
+
+def run_pipe(ws, ckpt, label):
+    from deep3d_aerial_tpu.io.pfm import read_pfm
+    from deep3d_aerial_tpu.pipeline.config import PipelineConfig
+    from deep3d_aerial_tpu.pipeline.orchestrator import AerialPipeline
+
+    cfg = PipelineConfig(
+        image_w=96, image_h=64, image_scale=1.0,
+        scene_block_size=[60.0, 60.0, 120.0], block_overlap=2.0,
+        view_num=3, num_depth=64, ndepths=[16, 8, 8], min_interval=0.5,
+        model_type="adamvs",
+        pretrain_weight=ckpt, allow_random_weights=ckpt is None,
+        fusion_num=4, geo_consist_num=3, photomatric_threshold=0.1,
+        position_threshold=1.0, depth_threshold=0.01, normal_threshold=180.0,
+        run_create_mesh=False, run_create_dsm=False,
+    )
+    pipe = AerialPipeline(ws, cfg)
+    pipe.select_view()
+    pipe.dense_match()
+    pipe.fuse_depth_map()
+    depths = {}
+    mvs = os.path.join(ws, "dense", "MVS")
+    for f in os.listdir(mvs):
+        if f.endswith("_init.pfm"):
+            iid = int(f.split("_")[1])
+            depths[iid] = read_pfm(os.path.join(mvs, f))[0]
+    clouds = []
+    fus = os.path.join(ws, "dense", "fusion")
+    from deep3d_aerial_tpu.io.ply import read_ply
+
+    for f in os.listdir(fus):
+        if f.endswith(".ply"):
+            clouds.append(read_ply(os.path.join(fus, f))[0])
+    cloud = np.concatenate(clouds) if clouds else np.zeros((0, 3))
+    return depths, cloud
+
+
+def main():
+    from deep3d_aerial_tpu.fusion.evaluate import surface_rmse
+    from scripts.train_synthetic import terrain_z
+
+    model = os.environ.get("TS_MODEL", "adamvs")
+    ckpt_root = os.path.join(os.path.dirname(__file__), "..",
+                             "checkpoints", f"synthetic_{model}")
+    from deep3d_aerial_tpu.train.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.abspath(ckpt_root))
+    assert ckpt, f"no checkpoint under {ckpt_root} — run train_synthetic first"
+    print(f"[ckpt] {ckpt}")
+
+    seed = int(os.environ.get("TS_EVAL_SEED", "9100"))  # held out
+    results = {}
+    for label, c in [("trained", ckpt), ("random", None)]:
+        ws = f"/tmp/eval_trained/{label}"
+        import shutil
+
+        if os.path.exists(ws):
+            shutil.rmtree(ws)
+        gt_depths, _ = build_workspace(ws, seed)
+        depths, cloud = run_pipe(ws, c, label)
+        errs, agree = [], []
+        for iid, est in depths.items():
+            gt = gt_depths[iid]
+            v = gt > 0
+            err = np.abs(est[v] - gt[v])
+            errs.append(np.mean(np.minimum(err, 50.0)))
+            agree.append(np.mean(np.abs(est[v] - gt[v]) / gt[v] < 0.01))
+        rmse = surface_rmse(
+            cloud, lambda x, y: terrain_z(x, y, seed)) if len(cloud) else None
+        results[label] = {
+            "depth_mae": float(np.mean(errs)),
+            "rel_1pct_agreement": float(np.mean(agree)),
+            "fused_points": int(len(cloud)),
+            "fused_surface_rmse_trim95": rmse,
+        }
+        print(json.dumps({label: results[label]}), flush=True)
+
+    out = {"checkpoint": ckpt, "eval_seed": seed, **results}
+    acc_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                            "ACCURACY.md")
+    with open(acc_path, "a") as f:
+        f.write("\n## eval_trained run\n\n```json\n"
+                + json.dumps(out, indent=1) + "\n```\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,11 +75,17 @@ def make_sample(rng, scene_seed, V, H, W):
     # oblique ring: ref nadir-ish + tilted sources
     imgs, projs = [], []
     depth_gt = None
+    grid_style = rng.random() < 0.5  # half the scenes mimic nadir surveys
     for v in range(V):
-        tilt = rng.uniform(0.05, 0.25) if v else rng.uniform(0, 0.05)
-        yaw = rng.uniform(0, 2 * np.pi)
-        cx = 10 * np.cos(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
-        cy = 10 * np.sin(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
+        if grid_style:
+            tilt = rng.uniform(0, 0.04)
+            cx = rng.uniform(-12, 12)
+            cy = rng.uniform(-12, 12)
+        else:
+            tilt = rng.uniform(0.05, 0.25) if v else rng.uniform(0, 0.05)
+            yaw = rng.uniform(0, 2 * np.pi)
+            cx = 10 * np.cos(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
+            cy = 10 * np.sin(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
         R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
         ca, sa = np.cos(tilt), np.sin(tilt)
         R_tilt = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])

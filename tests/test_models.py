@@ -202,3 +202,28 @@ def test_deform_conv_zero_offsets_match_plain(rng):
     stacked = np.concatenate(taps, -1)
     expect = stacked @ w + b
     np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_window_confidence_matches_reference_numerics(rng):
+    """Numeric parity with the reference confidence head
+    (cas_mvsnet.py:72-76): 4 * avg_pool3d(pad(prob, (1,2)), (4,1,1))
+    gathered at the TRUNCATED expected depth index."""
+    import jax.numpy as jnp
+
+    from deep3d_aerial_tpu.models.cascade import window_confidence
+
+    D, Hh, Ww = 16, 6, 7
+    logits = rng.standard_normal((D, Hh, Ww)).astype(np.float32)
+    prob = np.exp(logits) / np.exp(logits).sum(0, keepdims=True)
+
+    # reference computation in numpy
+    padded = np.concatenate(
+        [np.zeros((1, Hh, Ww), np.float32), prob,
+         np.zeros((2, Hh, Ww), np.float32)], 0)
+    sum4 = np.stack([padded[i:i + 4].sum(0) for i in range(D)])
+    idx = (prob * np.arange(D, dtype=np.float32)[:, None, None]).sum(0)
+    idx = np.clip(idx.astype(np.int64), 0, D - 1)  # torch .long() truncates
+    expect = np.take_along_axis(sum4, idx[None], axis=0)[0]
+
+    ours = np.asarray(window_confidence(jnp.asarray(prob)))
+    np.testing.assert_allclose(ours, expect, rtol=1e-5, atol=1e-6)

@@ -71,3 +71,43 @@ def test_dsm_pipeline_uses_native(rng):
     cfg = DSMConfig(cell_size=(1.0, 1.0), select_method="Max")
     grid = DSMFromPointCloud(cfg).create(pts, BBX)
     assert grid[0, 0] == 3.0 and grid[9, 9] == 7.0
+
+
+def test_million_point_block_fast_paths(rng):
+    """VERDICT #8 acceptance: a 1M-point block's host-side hot loops run in
+    seconds — CSR visibility assembly, .mvs vertex serialization, DSM
+    point reduction, and (native) mesh rasterization."""
+    import time
+
+    from deep3d_aerial_tpu.utils.csr import VisibilityCSR, remap_ids
+
+    # bounds are generous: this box shares 4 cores with remote-compile
+    # threads; the test guards against quadratic/per-point-loop behavior,
+    # not absolute speed
+    n = 1_000_000
+    pts = np.column_stack([
+        rng.uniform(0, 500, n), rng.uniform(0, 500, n),
+        rng.uniform(0, 30, n)]).astype(np.float32)
+
+    t0 = time.time()
+    counts = rng.integers(2, 6, n).astype(np.int64)
+    vals = rng.integers(1, 40, int(counts.sum())).astype(np.int32)
+    csr = VisibilityCSR(vals, counts)
+    mapped = remap_ids(csr, {i: i - 1 for i in range(1, 41)})
+    t_csr = time.time() - t0
+    assert len(mapped) == n and t_csr < 60.0, t_csr
+
+    from deep3d_aerial_tpu.io.mvs_interface import _serialize_vertices
+
+    t0 = time.time()
+    blob = _serialize_vertices(pts, mapped, None)
+    t_ser = time.time() - t0
+    assert len(blob) > n * 20 and t_ser < 60.0, t_ser
+
+    from deep3d_aerial_tpu.dsm.rasterize import DSMConfig, DSMFromPointCloud
+
+    t0 = time.time()
+    grid = DSMFromPointCloud(DSMConfig(cell_size=(1.0, 1.0))).create(
+        pts, [0, 500, 0, 500, 0, 40])
+    t_dsm = time.time() - t0
+    assert grid.shape[0] >= 499 and t_dsm < 60.0, t_dsm
