@@ -51,19 +51,37 @@ def main():
     ]
     model_name = os.environ.get("BENCH_MODEL", "adamvs")
     warp_impl = os.environ.get("BENCH_WARP", "pallas")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     model = build_model(model_name, ndepths=(48, 32, 8), num_depth=384,
                         dtype=dtype, warp_impl=warp_impl)
     imgs, rel = _example_inputs(V=V, H=H, W=W)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
 
-    @jax.jit
-    def step(p, imgs, rel, feedback):
-        out = model.apply(p, imgs + feedback, rel, 80.0, 120.0)
-        d = out["depth"]
-        # tiny scalar derived from the result chains the next step's input
-        return d, out["photometric_confidence"], jnp.mean(d) * 1e-12
+    if batch > 1:
+        # B ref views per step (the orchestrator's infer_batch_size path):
+        # amortizes per-op dispatch + fills the chip at small channel counts
+        imgs = jnp.broadcast_to(imgs[None], (batch,) + imgs.shape)
+        rel = jnp.broadcast_to(rel[None], (batch,) + rel.shape)
 
-    fetch = jax.jit(lambda d: d[0, 0])
+        @jax.jit
+        def step(p, imgs, rel, feedback):
+            out = jax.vmap(
+                lambda im, r: model.apply(p, im + feedback, r, 80.0, 120.0)
+            )(imgs, rel)
+            d = out["depth"]
+            return d, out["photometric_confidence"], jnp.mean(d) * 1e-12
+
+        fetch = jax.jit(lambda d: d[0, 0, 0])
+    else:
+
+        @jax.jit
+        def step(p, imgs, rel, feedback):
+            out = model.apply(p, imgs + feedback, rel, 80.0, 120.0)
+            d = out["depth"]
+            # tiny scalar derived from the result chains the next input
+            return d, out["photometric_confidence"], jnp.mean(d) * 1e-12
+
+        fetch = jax.jit(lambda d: d[0, 0])
 
     def run_chain(n):
         fb = jnp.float32(0.0)
@@ -82,7 +100,7 @@ def main():
     t_long = min(run_chain(n_long) for _ in range(2))
     dt = max((t_long - t_short) / (n_long - n_short), 1e-9)
 
-    maps_per_s = 1.0 / dt
+    maps_per_s = batch / dt
 
     ref_full_rate = 1.0 / 50.0
     scale = (1856 * 2752) / (H * W)

@@ -116,3 +116,130 @@ def refine_mesh_file(src_ply, dst_ply, cfg: RefineConfig = RefineConfig()):
     verts, faces, _ = decimate_mesh(verts, faces, cfg.decimate_ratio)
     write_mesh_ply(dst_ply, verts, faces)
     return verts, faces
+
+
+@dataclasses.dataclass
+class PhotoRefineConfig:
+    """Variational photo-consistency refinement knobs (the OpenMVS
+    RefineMesh core — reference flag surface createmesh.py:82-112)."""
+
+    scales: int = 2               # --scales (coarse-to-fine passes)
+    iterations: int = 20          # gradient steps per scale
+    gradient_step: float = 0.05   # --gradient-step (x mean edge length)
+    regularity_weight: float = 0.2  # --regularity-weight (Laplacian pull)
+    max_views: int = 8            # --max-views per vertex
+
+
+def photometric_refine(
+    vertices: np.ndarray,          # [N, 3]
+    faces: np.ndarray,             # [F, 3]
+    views,                         # [(image [H,W,3] float, K [3,3], T_cw [4,4])]
+    cfg: PhotoRefineConfig = PhotoRefineConfig(),
+) -> np.ndarray:
+    """Variational photo-consistency refinement (jit, TPU/CPU): move each
+    vertex along its normal to minimize the VARIANCE of the image colors
+    it projects to across the views that see it, with a Laplacian
+    regularity term (the gradient-descent essence of OpenMVS RefineMesh —
+    our redesign runs the energy in JAX instead of hand-coded C++ descent;
+    coarse-to-fine via `scales` progressively shrinks the step).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    v0 = np.asarray(vertices, np.float32)
+    n = len(v0)
+    if n == 0 or len(faces) == 0 or not views:
+        return v0
+    views = views[: cfg.max_views]
+
+    nbr, off = vertex_adjacency(n, faces)
+    deg = np.maximum(np.diff(off), 1).astype(np.float32)
+    # fixed-width neighbor table for jit (pad with self)
+    max_deg = int(np.diff(off).max())
+    table = np.tile(np.arange(n)[:, None], (1, max_deg))
+    for i in range(n):
+        nb = nbr[off[i]:off[i + 1]]
+        table[i, : len(nb)] = nb
+    table = jnp.asarray(table)
+    degj = jnp.asarray(deg)
+
+    edge = v0[faces[:, 0]] - v0[faces[:, 1]]
+    mean_edge = float(np.linalg.norm(edge, axis=1).mean() + 1e-9)
+
+    Ks = jnp.asarray(np.stack([np.asarray(k, np.float32)
+                               for _, k, _ in views]))
+    Ts = jnp.asarray(np.stack([np.asarray(t, np.float32)
+                               for _, _, t in views]))
+    imgs = jnp.asarray(np.stack([
+        np.asarray(im, np.float32).mean(-1) if np.asarray(im).ndim == 3
+        else np.asarray(im, np.float32) for im, _, _ in views]))
+    Hh, Ww = imgs.shape[1:]
+
+    faces_j = jnp.asarray(faces)
+
+    def vertex_normals(v):
+        e1 = v[faces_j[:, 1]] - v[faces_j[:, 0]]
+        e2 = v[faces_j[:, 2]] - v[faces_j[:, 0]]
+        fn = jnp.cross(e1, e2)
+        vn = jnp.zeros_like(v)
+        for k in range(3):
+            vn = vn.at[faces_j[:, k]].add(fn)
+        return vn / (jnp.linalg.norm(vn, axis=1, keepdims=True) + 1e-12)
+
+    def sample(img, x, y):
+        x0 = jnp.clip(jnp.floor(x), 0, Ww - 2)
+        y0 = jnp.clip(jnp.floor(y), 0, Hh - 2)
+        fx = jnp.clip(x - x0, 0, 1)
+        fy = jnp.clip(y - y0, 0, 1)
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        v00 = img[y0, x0]
+        v01 = img[y0, x0 + 1]
+        v10 = img[y0 + 1, x0]
+        v11 = img[y0 + 1, x0 + 1]
+        return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+                + fy * ((1 - fx) * v10 + fx * v11))
+
+    def energy(v):
+        # project every vertex into every view (elementwise chain — no
+        # coordinate matmuls on TPU, see docs/PERF.md)
+        def per_view(K, T, img):
+            R, t = T[:3, :3], T[:3, 3]
+            cam = jnp.stack(
+                [R[a, 0] * v[:, 0] + R[a, 1] * v[:, 1]
+                 + R[a, 2] * v[:, 2] + t[a] for a in range(3)], -1)
+            z = jnp.maximum(cam[:, 2], 1e-6)
+            x = K[0, 0] * cam[:, 0] / z + K[0, 2]
+            y = K[1, 1] * cam[:, 1] / z + K[1, 2]
+            inb = ((x >= 0) & (x <= Ww - 1) & (y >= 0) & (y <= Hh - 1)
+                   & (cam[:, 2] > 1e-6))
+            return sample(img, x, y), inb
+
+        cols, masks = jax.vmap(per_view)(Ks, Ts, imgs)  # [V, N]
+        w = masks.astype(jnp.float32)
+        cnt = jnp.maximum(w.sum(0), 1.0)
+        mean = (cols * w).sum(0) / cnt
+        var = ((cols - mean) ** 2 * w).sum(0) / cnt
+        photo = jnp.where(w.sum(0) >= 2, var, 0.0).mean()
+        # padded self entries contribute (max_deg - deg) copies of v to the
+        # row sum — subtract them so lap = mean(neighbors) - v
+        lap = ((v[table].sum(1) - (max_deg - degj)[:, None] * v)
+               / degj[:, None] - v)
+        reg = (lap ** 2).sum(-1).mean()
+        return photo + cfg.regularity_weight * reg
+
+    grad_fn = jax.jit(jax.grad(energy))
+    norm_fn = jax.jit(vertex_normals)
+
+    v = jnp.asarray(v0)
+    for s in range(cfg.scales):
+        step = cfg.gradient_step * mean_edge * (0.5 ** s)
+        for _ in range(cfg.iterations):
+            g = grad_fn(v)
+            nrm = norm_fn(v)
+            # move along the normal only (tangential drift destroys the
+            # parameterization — same constraint OpenMVS applies)
+            gn = jnp.sum(g * nrm, axis=1, keepdims=True)
+            gnorm = jnp.maximum(jnp.abs(gn).max(), 1e-12)
+            v = v - step * (gn / gnorm) * nrm
+    return np.asarray(v, np.float32)

@@ -62,6 +62,7 @@ def pair_corr_volumes(
 
     if warp_impl != "pallas" or not _pallas_tile_ok(H1, W1):
         return xla_volumes()
+    # (tile_ok already excludes the CPU backend)
 
     from ..ops.pallas_sweep import sweep_corr_chunk_pallas
 

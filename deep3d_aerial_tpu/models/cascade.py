@@ -6,6 +6,7 @@ batching. Geometry stays float32; features may run in bfloat16.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -176,7 +177,72 @@ def masked_softmax_depth_head(
 
 
 def _pallas_tile_ok(H: int, W: int) -> bool:
-    return H % 8 == 0 and W % 128 == 0
+    """Kernel applicability: tile-divisible shapes AND a backend that can
+    run Mosaic (the CPU backend silently gets the gather path — tests and
+    multihost CPU workers never trip on pallas_call)."""
+    if H % 8 or W % 128:
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _xla_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats, rel_projs,
+                     weights):
+    if cost_mode == "variance":
+        out = jax.vmap(
+            lambda d: variance_cost_plane(ref_feat, src_feats, rel_projs, d)
+        )(depth_chunk)
+    else:
+        out = jax.vmap(
+            lambda d: correlation_cost_plane(
+                ref_feat, src_feats, rel_projs, d, weights)
+        )(depth_chunk)
+    # weight/variance math may promote bf16 features to f32; all paths
+    # must agree with the feature dtype
+    return out.astype(ref_feat.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats,
+                        rel_projs, weights):
+    """Differentiable fused-kernel cost build: FORWARD runs the Pallas
+    sweep kernel (with coverage fallback), BACKWARD is the VJP of the
+    mathematically-identical XLA gather formulation — pallas_call defines
+    no autodiff rule, and the two compute the same function to <1e-5, so
+    training gets the kernel's forward throughput with exact gradients."""
+    from ..ops.pallas_sweep import sweep_cost_chunk_pallas
+
+    mode = "variance" if cost_mode == "variance" else "corr"
+    cost_p, covered = sweep_cost_chunk_pallas(
+        ref_feat, src_feats, rel_projs, depth_chunk,
+        weights=None if mode == "variance" else weights,
+        mode=mode,
+    )
+    return jax.lax.cond(
+        covered,
+        lambda: cost_p.astype(ref_feat.dtype),
+        lambda: _xla_chunk_costs(cost_mode, depth_chunk, ref_feat,
+                                 src_feats, rel_projs, weights),
+    )
+
+
+def _pallas_chunk_costs_fwd(cost_mode, depth_chunk, ref_feat, src_feats,
+                            rel_projs, weights):
+    out = _pallas_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats,
+                              rel_projs, weights)
+    return out, (depth_chunk, ref_feat, src_feats, rel_projs, weights)
+
+
+def _pallas_chunk_costs_bwd(cost_mode, res, g):
+    depth_chunk, ref_feat, src_feats, rel_projs, weights = res
+    _, vjp = jax.vjp(
+        lambda d, rf, sf, rp, w: _xla_chunk_costs(cost_mode, d, rf, sf,
+                                                  rp, w),
+        depth_chunk, ref_feat, src_feats, rel_projs, weights,
+    )
+    return vjp(g)
+
+
+_pallas_chunk_costs.defvjp(_pallas_chunk_costs_fwd, _pallas_chunk_costs_bwd)
 
 
 def chunk_costs(
@@ -194,37 +260,15 @@ def chunk_costs(
     warp_impl='pallas' uses the fused MXU sweep kernel
     (ops/pallas_sweep.sweep_cost_chunk_pallas — measured 12-30x over the
     XLA gather on-chip) with a lax.cond fallback to the gather path when a
-    tile footprint escapes the kernel's windows; 'xla' is the plain gather
-    build (also the oracle)."""
-    def xla_costs():
-        if cost_mode == "variance":
-            out = jax.vmap(
-                lambda d: variance_cost_plane(
-                    ref_feat, src_feats, rel_projs, d)
-            )(depth_chunk)
-        else:
-            out = jax.vmap(
-                lambda d: correlation_cost_plane(
-                    ref_feat, src_feats, rel_projs, d, weights)
-            )(depth_chunk)
-        # weight/variance math may promote bf16 features to f32; both
-        # lax.cond branches must agree with the feature dtype
-        return out.astype(ref_feat.dtype)
-
+    tile footprint escapes the kernel's windows, and a custom VJP (the XLA
+    formulation's gradient) so the flagship trains through it; 'xla' is
+    the plain gather build (also the oracle)."""
     H, W = ref_feat.shape[:2]
     if warp_impl != "pallas" or not _pallas_tile_ok(H, W):
-        return xla_costs()
-
-    from ..ops.pallas_sweep import sweep_cost_chunk_pallas
-
-    mode = "variance" if cost_mode == "variance" else "corr"
-    cost_p, covered = sweep_cost_chunk_pallas(
-        ref_feat, src_feats, rel_projs, depth_chunk,
-        weights=None if mode == "variance" else weights,
-        mode=mode, precision=warp_precision,
-    )
-    return jax.lax.cond(covered, lambda: cost_p.astype(ref_feat.dtype),
-                        xla_costs)
+        return _xla_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats,
+                                rel_projs, weights)
+    return _pallas_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats,
+                               rel_projs, weights)
 
 
 class _ChunkSweepStep(nn.Module):

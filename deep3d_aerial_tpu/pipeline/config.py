@@ -75,6 +75,9 @@ class PipelineConfig:
     refine_decimate_ratio: float = 1.0
     texture_decimate_ratio: float = 1.0
     refine_scale_times: int = 1
+    # variational photo-consistency vertex refinement (OpenMVS RefineMesh
+    # core, reference createmesh.py:82-112); opt-in — needs source images
+    refine_photometric: bool = False
 
     # CREATEDSM
     run_create_dsm: bool = True
@@ -114,7 +117,8 @@ class PipelineConfig:
             "CREATEMESH": ["run_create_mesh", "mesh_method",
                            "recons_insert_distance",
                            "recons_decimate_ratio", "refine_decimate_ratio",
-                           "texture_decimate_ratio", "refine_scale_times"],
+                           "texture_decimate_ratio", "refine_scale_times",
+                           "refine_photometric"],
             "CREATEDSM": ["run_create_dsm", "dsm_source", "pc_select_method",
                           "pc_interpolation_method", "dsm_uint", "dsm_size",
                           "bbx_border_dsm"],
@@ -173,6 +177,7 @@ class PipelineConfig:
                 "refine_decimate_ratio": self.refine_decimate_ratio,
                 "texture_decimate_ratio": self.texture_decimate_ratio,
                 "refine_scale_times": self.refine_scale_times,
+                "refine_photometric": self.refine_photometric,
             },
             "CREATEDSM": {
                 "run_create_dsm": self.run_create_dsm,

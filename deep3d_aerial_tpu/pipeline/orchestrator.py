@@ -397,6 +397,23 @@ class AerialPipeline:
                 ))
                 dst = refined
             views = self._texture_views()
+            if cfg.refine_photometric and views:
+                from ..mesh.refine import (PhotoRefineConfig,
+                                           photometric_refine)
+                from ..mesh.trimesh_io import read_mesh_ply, write_mesh_ply
+
+                verts, faces = read_mesh_ply(dst)
+                verts = photometric_refine(
+                    verts, faces,
+                    [(v.image, v.geom.K, v.geom.T_cw) for v in views],
+                    PhotoRefineConfig(
+                        scales=max(1, int(cfg.refine_scale_times))),
+                )
+                photo = _join(
+                    self.mesh_path,
+                    fname.replace(".ply", "_mesh_refine_photo.ply"))
+                write_mesh_ply(photo, verts, faces)
+                dst = photo
             if views:
                 from ..mesh.texture import texture_mesh_file
 

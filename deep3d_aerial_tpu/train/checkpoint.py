@@ -54,6 +54,24 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, entries[-1][1])
 
 
+def best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Checkpoint with the LOWEST val error encoded in its name (the
+    reference encodes eval error in the name for exactly this selection,
+    train_whu.py:214-219); falls back to the newest when no name carries
+    an error (ties broken by newest epoch)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        m = re.match(r"model_(\d+)_([0-9.]+)$", name)
+        if m:
+            entries.append((float(m.group(2)), -int(m.group(1)), name))
+    if not entries:
+        return latest_checkpoint(ckpt_dir)
+    entries.sort()
+    return os.path.join(ckpt_dir, entries[0][2])
+
+
 def restore_checkpoint(path: str) -> dict:
     ocp = _ocp()
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))

@@ -133,9 +133,9 @@ def main():
     model = os.environ.get("TS_MODEL", "adamvs")
     ckpt_root = os.path.join(os.path.dirname(__file__), "..",
                              "checkpoints", f"synthetic_{model}")
-    from deep3d_aerial_tpu.train.checkpoint import latest_checkpoint
+    from deep3d_aerial_tpu.train.checkpoint import best_checkpoint
 
-    ckpt = latest_checkpoint(os.path.abspath(ckpt_root))
+    ckpt = best_checkpoint(os.path.abspath(ckpt_root))
     assert ckpt, f"no checkpoint under {ckpt_root} — run train_synthetic first"
     print(f"[ckpt] {ckpt}")
 

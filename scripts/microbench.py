@@ -178,7 +178,7 @@ def main():
         bench(f"warp_s{s}_c8", mk_warp(s, chunk=8))
 
     # ---- recurrent sweeps (cost build + RedStep2 + online softmax) ----
-    def mk_sweep(stage):
+    def mk_sweep(stage, warp_impl="xla"):
         h, w, c, d = S[stage]
 
         def make():
@@ -197,7 +197,8 @@ def main():
                     return streaming_sweep(
                         reg=r, cost_mode="correlation", up=up, depths=depths,
                         ref_feat=ref, src_feats=src, rel_projs=rels,
-                        weights=weights, init_states=r.init_states(h, w))
+                        weights=weights, init_states=r.init_states(h, w),
+                        warp_impl=warp_impl)
 
             model = Sweep()
             params = jax.jit(model.init)(key, ref, src, rels, weights, depths)
@@ -214,6 +215,8 @@ def main():
 
     for s in (1, 2, 3):
         bench(f"sweep_s{s}", mk_sweep(s))
+    for s in (1, 2, 3):
+        bench(f"sweep_s{s}_pallas", mk_sweep(s, warp_impl="pallas"))
 
     # ---- RedStep2-only chain (no warp): isolates the GRU cost ---------
     def mk_red(stage):

@@ -251,3 +251,58 @@ def test_graphcut_reconstructs_vertical_facades(tmp_path, rng):
         # the heightfield's few "vertical" faces are wall-collapse slivers;
         # the graph-cut surface must be categorically more wall-rich
         assert vertical.mean() > 2 * vert25, (vertical.mean(), vert25)
+
+
+def test_photometric_refine_recovers_plane():
+    """Variational photo-consistency refinement (reference RefineMesh,
+    createmesh.py:82-112): a noisy plane mesh viewed by 3 cameras over a
+    checkered texture must move back toward the true plane."""
+    import numpy as np
+
+    from deep3d_aerial_tpu.mesh.refine import (PhotoRefineConfig,
+                                               photometric_refine)
+
+    rng = np.random.default_rng(0)
+    n = 7
+    xs, ys = np.meshgrid(np.linspace(-2, 2, n), np.linspace(-2, 2, n))
+    verts_gt = np.stack(
+        [xs, ys, np.full_like(xs, 10.0)], -1).reshape(-1, 3).astype(
+            np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    faces = np.array(faces, np.int32)
+
+    K = np.array([[120, 0, 64], [0, 120, 64], [0, 0, 1]], np.float32)
+    H = W = 128
+
+    def render(T):
+        R, t = T[:3, :3], T[:3, 3]
+        ys_, xs_ = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        d_cam = np.stack([(xs_ - K[0, 2]) / K[0, 0],
+                          (ys_ - K[1, 2]) / K[1, 1],
+                          np.ones_like(xs_, np.float32)], -1)
+        Rw = R.T
+        o = -Rw @ t
+        d_w = d_cam @ Rw.T
+        s = (10.0 - o[2]) / d_w[..., 2]
+        pw = o + s[..., None] * d_w
+        return ((np.floor(pw[..., 0] * 2)
+                 + np.floor(pw[..., 1] * 2)) % 2).astype(np.float32)
+
+    views = []
+    for tx in (-0.5, 0.5, 0.0):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = tx
+        views.append((render(T), K, T))
+
+    verts0 = verts_gt.copy()
+    verts0[:, 2] += rng.normal(0, 0.15, len(verts0)).astype(np.float32)
+    err0 = np.abs(verts0[:, 2] - 10).mean()
+    out = photometric_refine(
+        verts0, faces, views, PhotoRefineConfig(scales=2, iterations=25))
+    err1 = np.abs(out[:, 2] - 10).mean()
+    assert np.isfinite(out).all()
+    assert err1 < 0.6 * err0, (err0, err1)

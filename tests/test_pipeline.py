@@ -140,6 +140,7 @@ def pipeline(workspace):
         model_type="casmvsnet", allow_random_weights=True,
         fusion_num=4, geo_consist_num=2, photomatric_threshold=0.0,
         position_threshold=2.0, depth_threshold=0.05, normal_threshold=180.0,
+        refine_photometric=True,
         dsm_source="pc", pc_select_method="Max",
         pc_interpolation_method="MovingAverage",
         dsm_uint=[2.0, 2.0], dsm_size=None,

@@ -162,3 +162,21 @@ def test_normal_aware_loss_term(rng):
     assert "normal_loss" in logs
     assert 0.0 <= float(logs["normal_loss"]) <= 2.0
     assert np.isfinite(float(logs["total"]))
+
+
+def test_best_checkpoint_selection(tmp_path):
+    """best_checkpoint picks the lowest val-error name; latest_checkpoint
+    the newest epoch (reference err-in-name scheme, train_whu.py:214-219)."""
+    from deep3d_aerial_tpu.train.checkpoint import (best_checkpoint,
+                                                    latest_checkpoint)
+
+    for name in ("model_000001_2.5000", "model_000002_1.2500",
+                 "model_000003_1.9000"):
+        (tmp_path / name).mkdir()
+    assert best_checkpoint(str(tmp_path)).endswith("model_000002_1.2500")
+    assert latest_checkpoint(str(tmp_path)).endswith("model_000003_1.9000")
+    # no error-suffixed names -> fall back to newest
+    empty = tmp_path / "plain"
+    empty.mkdir()
+    (empty / "model_000004").mkdir()
+    assert best_checkpoint(str(empty)).endswith("model_000004")
