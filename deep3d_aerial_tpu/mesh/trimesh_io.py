@@ -59,6 +59,7 @@ def read_mesh_ply(path) -> Tuple[np.ndarray, np.ndarray]:
         fmt = None
         n_vertex = n_face = 0
         vprops = []
+        fprops = []  # face properties: ("list", ctype, itype, name) | scalar
         element = None
         while True:
             tokens = f.readline().strip().decode("ascii", "replace").split()
@@ -75,6 +76,11 @@ def read_mesh_ply(path) -> Tuple[np.ndarray, np.ndarray]:
             elif tokens[0] == "property" and element == "vertex":
                 if tokens[1] != "list":
                     vprops.append((tokens[2], tokens[1]))
+            elif tokens[0] == "property" and element == "face":
+                if tokens[1] == "list":
+                    fprops.append(("list", tokens[2], tokens[3], tokens[4]))
+                else:
+                    fprops.append(("scalar", tokens[1], None, tokens[2]))
             elif tokens[0] == "end_header":
                 break
         if fmt != "binary_little_endian":
@@ -86,9 +92,18 @@ def read_mesh_ply(path) -> Tuple[np.ndarray, np.ndarray]:
         rec = np.fromfile(f, dtype=dtype, count=n_vertex)
         verts = np.stack([rec["x"], rec["y"], rec["z"]], -1).astype(np.float32)
 
+        if not fprops:  # headers written before face-prop tracking
+            fprops = [("list", "uchar", "int", "vertex_indices")]
+        sizes = {"float": 4, "double": 8, "uchar": 1, "char": 1, "int": 4,
+                 "uint": 4, "short": 2, "ushort": 2}
         faces = np.empty((n_face, 3), np.int32)
         for i in range(n_face):
-            (k,) = struct.unpack("<B", f.read(1))
-            idx = np.frombuffer(f.read(4 * k), dtype="<i4")
-            faces[i] = idx[:3]
+            for kind, t1, t2, name in fprops:
+                if kind == "list":
+                    k = int(np.frombuffer(f.read(sizes[t1]), tmap[t1])[0])
+                    data = f.read(sizes[t2] * k)
+                    if name == "vertex_indices":
+                        faces[i] = np.frombuffer(data, tmap[t2])[:3]
+                else:
+                    f.read(sizes[t1])
     return verts, faces

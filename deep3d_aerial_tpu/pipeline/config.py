@@ -78,6 +78,9 @@ class PipelineConfig:
     # variational photo-consistency vertex refinement (OpenMVS RefineMesh
     # core, reference createmesh.py:82-112); opt-in — needs source images
     refine_photometric: bool = False
+    # UV chart atlas texturing (OpenMVS TextureMesh parity, reference
+    # createmesh.py:115-142); False = per-vertex best-view colors
+    texture_atlas: bool = True
 
     # CREATEDSM
     run_create_dsm: bool = True

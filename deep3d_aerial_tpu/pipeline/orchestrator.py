@@ -415,13 +415,19 @@ class AerialPipeline:
                 write_mesh_ply(photo, verts, faces)
                 dst = photo
             if views:
-                from ..mesh.texture import texture_mesh_file
-
                 textured = _join(
                     self.mesh_path,
                     fname.replace(".ply", "_mesh_refine_texture.ply"),
                 )
-                texture_mesh_file(dst, textured, views)
+                if cfg.texture_atlas:
+                    # full TextureMesh parity: UV chart atlas + PNG
+                    from ..mesh.atlas import texture_atlas_mesh_file
+
+                    texture_atlas_mesh_file(dst, textured, views)
+                else:
+                    from ..mesh.texture import texture_mesh_file
+
+                    texture_mesh_file(dst, textured, views)
                 dst = textured
             out.append(dst)
             print(f"[mesh] {dst}")

@@ -306,3 +306,87 @@ def test_photometric_refine_recovers_plane():
     err1 = np.abs(out[:, 2] - 10).mean()
     assert np.isfinite(out).all()
     assert err1 < 0.6 * err0, (err0, err1)
+
+
+def test_texture_atlas_round_trip(tmp_path, rng):
+    """Atlas UVs sample back the exact source-image content per face."""
+    from deep3d_aerial_tpu.fusion.consistency import ViewGeometry
+    from deep3d_aerial_tpu.geometry.camera import Pose
+    from deep3d_aerial_tpu.mesh import MeshConfig, delaunay_mesh_25d
+    from deep3d_aerial_tpu.mesh.atlas import (
+        build_texture_atlas, read_textured_mesh_ply, write_textured_mesh_ply,
+    )
+    from deep3d_aerial_tpu.mesh.texture import TextureView
+    from tests.conftest import toy_camera
+
+    pts = grid_points(10, 2.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.8))
+
+    cam = toy_camera(width=64, height=48, f=40.0)
+    R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+
+    # two views with distinct solid colors, offset centers
+    views = []
+    for i, (cx, col) in enumerate([(4.0, (200, 10, 10)), (14.0, (10, 200, 10))]):
+        center = np.array([cx, 9.0, 30.0])
+        pose = Pose(R_down, -R_down @ center)
+        img = np.zeros((48, 64, 3), np.uint8)
+        img[:] = col
+        views.append(TextureView(
+            geom=ViewGeometry.create(cam.K, pose.T_cw), image=img))
+
+    res = build_texture_atlas(verts, faces, views)
+    A = res.image.shape[0]
+    assert res.uv.shape == (len(faces), 3, 2)
+    assert (res.uv >= 0).all() and (res.uv <= 1).all()
+
+    # every labeled face's UV corners must sample its view's solid color
+    for fi in range(len(faces)):
+        lab = res.labels[fi]
+        if lab < 0:
+            continue
+        expect = views[lab].image[0, 0]
+        for c in range(3):
+            x = int(round(res.uv[fi, c, 0] * A))
+            y = int(round((1.0 - res.uv[fi, c, 1]) * A))
+            got = res.image[min(y, A - 1), min(x, A - 1)]
+            assert (got == expect).all(), (fi, lab, got, expect)
+
+    # PLY round trip (OpenMVS textured grammar)
+    ply = tmp_path / "tex.ply"
+    write_textured_mesh_ply(ply, verts, faces, res.uv, "tex.png")
+    v2, f2, uv2, tex = read_textured_mesh_ply(ply)
+    assert tex == "tex.png"
+    np.testing.assert_allclose(v2, verts, rtol=1e-6)
+    np.testing.assert_array_equal(f2, faces)
+    np.testing.assert_allclose(uv2, res.uv, rtol=1e-6)
+
+    # the generic mesh reader must tolerate the texcoord face property
+    v3, f3 = read_mesh_ply(ply)
+    np.testing.assert_array_equal(f3, faces)
+
+
+def test_texture_atlas_labels_split_views(tmp_path, rng):
+    """Faces pick the closer (more fronto-parallel, in-frame) view."""
+    from deep3d_aerial_tpu.fusion.consistency import ViewGeometry
+    from deep3d_aerial_tpu.geometry.camera import Pose
+    from deep3d_aerial_tpu.mesh import MeshConfig, delaunay_mesh_25d
+    from deep3d_aerial_tpu.mesh.atlas import face_view_labels
+    from deep3d_aerial_tpu.mesh.texture import TextureView
+    from tests.conftest import toy_camera
+
+    pts = grid_points(12, 2.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.8))
+    cam = toy_camera(width=40, height=40, f=50.0)
+    R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    views = []
+    for cx in (2.0, 20.0):
+        pose = Pose(R_down, -R_down @ np.array([cx, 11.0, 25.0]))
+        views.append(TextureView(
+            geom=ViewGeometry.create(cam.K, pose.T_cw),
+            image=np.zeros((40, 40, 3), np.uint8)))
+    labels, valid = face_view_labels(verts, faces, views)
+    # both views used; unseen faces marked -1 only when neither view sees them
+    used = set(labels[labels >= 0].tolist())
+    assert used == {0, 1}
+    assert ((labels >= 0) == valid.any(1)).all() or (labels >= 0).all()
