@@ -58,18 +58,19 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
 
     if batch > 1:
-        # B ref views per step (the orchestrator's infer_batch_size path):
-        # amortizes per-op dispatch + fills the chip at small channel counts
+        # B ref views per step, UNROLLED (not vmap: vmap turns the pallas
+        # kernel's lax.cond coverage fallback into select-both-branches —
+        # measured 1.44 maps/s vs 14.3 at batch=1, docs/PERF.md)
         imgs = jnp.broadcast_to(imgs[None], (batch,) + imgs.shape)
         rel = jnp.broadcast_to(rel[None], (batch,) + rel.shape)
 
         @jax.jit
         def step(p, imgs, rel, feedback):
-            out = jax.vmap(
-                lambda im, r: model.apply(p, im + feedback, r, 80.0, 120.0)
-            )(imgs, rel)
-            d = out["depth"]
-            return d, out["photometric_confidence"], jnp.mean(d) * 1e-12
+            outs = [model.apply(p, imgs[i] + feedback, rel[i], 80.0, 120.0)
+                    for i in range(batch)]
+            d = jnp.stack([o["depth"] for o in outs])
+            conf = jnp.stack([o["photometric_confidence"] for o in outs])
+            return d, conf, jnp.mean(d) * 1e-12
 
         fetch = jax.jit(lambda d: d[0, 0, 0])
     else:

@@ -155,12 +155,14 @@ def build_texture_atlas(
     smooth_iters: int = 2,
     gutter: int = 2,
     max_size: int = 8192,
+    empty_color: Tuple[int, int, int] = (166, 166, 166),  # nColEmpty
 ) -> TextureAtlas:
     """Pack best-view image crops into one atlas; per-face-corner UVs."""
     n_f = len(faces)
     uv = np.zeros((n_f, 3, 2), np.float32)
+    empty = np.asarray(empty_color, np.uint8)
     if n_f == 0 or not views:
-        return TextureAtlas(np.full((4, 4, 3), 128, np.uint8), uv,
+        return TextureAtlas(np.broadcast_to(empty, (4, 4, 3)).copy(), uv,
                             np.full(n_f, -1, np.int32))
 
     labels, _ = face_view_labels(vertices, faces, views, smooth_iters)
@@ -197,7 +199,8 @@ def build_texture_atlas(
         if ok or atlas_w >= max_size:
             break
         atlas_w *= 2
-    atlas = np.full((atlas_w, atlas_w, 3), 128, np.uint8)
+    atlas = np.empty((atlas_w, atlas_w, 3), np.uint8)
+    atlas[:] = empty
 
     for ci, comp in enumerate(charts):
         w, h, _, x0, y0, lab = rects[ci]
@@ -344,12 +347,14 @@ def texture_atlas_mesh_file(
     views: Sequence[TextureView],
     smooth_iters: int = 2,
     write_obj: bool = False,
+    empty_color: Tuple[int, int, int] = (166, 166, 166),
 ) -> TextureAtlas:
     """File driver: mesh PLY -> atlas-textured PLY + PNG (+ optional OBJ)."""
     from .trimesh_io import read_mesh_ply
 
     verts, faces = read_mesh_ply(src_ply)
-    res = build_texture_atlas(verts, faces, views, smooth_iters=smooth_iters)
+    res = build_texture_atlas(verts, faces, views, smooth_iters=smooth_iters,
+                              empty_color=empty_color)
     png = os.path.splitext(os.fspath(dst_ply))[0] + ".png"
     from PIL import Image
 

@@ -23,9 +23,23 @@ from .trimesh_io import write_mesh_ply
 
 @dataclasses.dataclass
 class MeshConfig:
-    insert_distance: float = 1.5  # target point spacing (m); also max-edge scale
-    decimate_ratio: float = 1.0  # keep fraction of points (<=1)
+    """Reconstruction + clean knobs, 1:1 with the reference's
+    RECONSTRUCTMESH YAML block (mesh/config.yaml:8-24)."""
+
+    insert_distance: float = 1.5  # fDistInsert: target point spacing (m)
+    decimate_ratio: float = 1.0   # fDecimateMesh: keep fraction of points
     max_edge_factor: float = 8.0  # cull triangles with edges > factor*spacing
+    # graph-cut energy weights (quality scales the per-crossing free-space
+    # vote, thickness the behind-the-point inside t-link — the same roles
+    # OpenMVS's fQualityFactor/fThicknessFactor play in its energy)
+    quality_factor: float = 1.0   # fQualityFactor
+    thickness_factor: float = 1.0  # fThicknessFactor
+    # clean options (mesh/clean.py)
+    remove_spurious: int = 20     # fRemoveSpurious: min component faces
+    remove_spikes: bool = True    # bRemoveSpikes
+    close_holes: int = 30         # nCloseHoles: max boundary edges to fill
+    smooth_mesh: int = 1          # nSmoothMesh: Taubin iterations
+    target_face_num: int = 0      # nTargetFaceNum: 0 = off
 
 
 def grid_decimate(
@@ -117,8 +131,15 @@ def delaunay_mesh_25d(
 
 def create_mesh_from_ply(src_ply, dst_ply, cfg: MeshConfig = MeshConfig()):
     """ReconstructMesh-equivalent file driver: fused PLY -> mesh PLY."""
+    from .clean import clean_mesh
+
     pts, normals, colors = read_ply(src_ply)
     verts, faces, vcolors = delaunay_mesh_25d(pts, cfg, colors, normals)
+    verts, faces, vcolors = clean_mesh(
+        verts, faces, vcolors,
+        remove_spurious_faces=cfg.remove_spurious,
+        spikes=cfg.remove_spikes, holes=cfg.close_holes,
+        smooth=cfg.smooth_mesh, target_faces=cfg.target_face_num)
     write_mesh_ply(dst_ply, verts, faces, vcolors)
     return verts, faces
 
@@ -179,11 +200,20 @@ def reconstruct_graphcut_from_mvs(
 
     tris = reconstruct_mesh_native(
         pts, vals, offs, cams,
-        alpha_vis=alpha_vis, inside_w=inside_w, min_component=min_component,
+        alpha_vis=alpha_vis * cfg.quality_factor,
+        inside_w=inside_w * cfg.thickness_factor,
+        min_component=max(min_component, cfg.remove_spurious),
     )
     if tris is None:
         return None
-    return pts.astype(np.float32), tris.astype(np.int32), colors
+    from .clean import clean_mesh
+
+    verts32 = pts.astype(np.float32)
+    verts32, tris, colors = clean_mesh(
+        verts32, tris.astype(np.int32), colors,
+        spikes=cfg.remove_spikes, holes=cfg.close_holes,
+        smooth=cfg.smooth_mesh, target_faces=cfg.target_face_num)
+    return verts32, np.asarray(tris, np.int32), colors
 
 
 def create_mesh_from_scene(

@@ -81,6 +81,9 @@ class PipelineConfig:
     # UV chart atlas texturing (OpenMVS TextureMesh parity, reference
     # createmesh.py:115-142); False = per-vertex best-view colors
     texture_atlas: bool = True
+    # optional OpenMVS-style mesh YAML (reference mesh/config.yaml keys,
+    # loaded by mesh.openmvs_config) — overrides the per-knob fields above
+    mesh_config: str = ""
 
     # CREATEDSM
     run_create_dsm: bool = True
@@ -121,7 +124,8 @@ class PipelineConfig:
                            "recons_insert_distance",
                            "recons_decimate_ratio", "refine_decimate_ratio",
                            "texture_decimate_ratio", "refine_scale_times",
-                           "refine_photometric"],
+                           "refine_photometric", "texture_atlas",
+                           "mesh_config"],
             "CREATEDSM": ["run_create_dsm", "dsm_source", "pc_select_method",
                           "pc_interpolation_method", "dsm_uint", "dsm_size",
                           "bbx_border_dsm"],
@@ -181,6 +185,8 @@ class PipelineConfig:
                 "texture_decimate_ratio": self.texture_decimate_ratio,
                 "refine_scale_times": self.refine_scale_times,
                 "refine_photometric": self.refine_photometric,
+                "texture_atlas": self.texture_atlas,
+                "mesh_config": self.mesh_config,
             },
             "CREATEDSM": {
                 "run_create_dsm": self.run_create_dsm,

@@ -369,6 +369,19 @@ class AerialPipeline:
         from ..mesh.refine import RefineConfig, refine_mesh_file
 
         cfg = self.cfg
+        mesh_cfg = photo_cfg = None
+        atlas_kwargs = {}
+        if cfg.mesh_config:
+            # OpenMVS-style mesh YAML (reference mesh/config.yaml keys)
+            from ..mesh.openmvs_config import load_openmvs_mesh_config
+
+            mesh_cfg, _refine_cfg, photo_cfg, tex = \
+                load_openmvs_mesh_config(cfg.mesh_config)
+            if tex.get("ignored"):
+                print(f"[mesh] config keys without an in-process equivalent "
+                      f"(ignored): {', '.join(tex['ignored'])}")
+            if "empty_color" in tex:
+                atlas_kwargs["empty_color"] = tex["empty_color"]
         out = []
         for fname in sorted(os.listdir(self.fusion_path)):
             if not fname.endswith(".ply"):
@@ -380,7 +393,7 @@ class AerialPipeline:
             mvs_path = _join(self.fusion_path, fname.replace(".ply", ".mvs"))
             create_mesh_from_scene(
                 src, dst,
-                MeshConfig(
+                mesh_cfg if mesh_cfg is not None else MeshConfig(
                     insert_distance=cfg.recons_insert_distance,
                     decimate_ratio=cfg.recons_decimate_ratio,
                 ),
@@ -406,7 +419,7 @@ class AerialPipeline:
                 verts = photometric_refine(
                     verts, faces,
                     [(v.image, v.geom.K, v.geom.T_cw) for v in views],
-                    PhotoRefineConfig(
+                    photo_cfg if photo_cfg is not None else PhotoRefineConfig(
                         scales=max(1, int(cfg.refine_scale_times))),
                 )
                 photo = _join(
@@ -423,7 +436,8 @@ class AerialPipeline:
                     # full TextureMesh parity: UV chart atlas + PNG
                     from ..mesh.atlas import texture_atlas_mesh_file
 
-                    texture_atlas_mesh_file(dst, textured, views)
+                    texture_atlas_mesh_file(dst, textured, views,
+                                            **atlas_kwargs)
                 else:
                     from ..mesh.texture import texture_mesh_file
 

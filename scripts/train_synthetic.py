@@ -190,8 +190,8 @@ def main():
 
     model = build_model(model_name, ndepths=ndepths, num_depth=num_depth)
     ckpt_dir = os.path.abspath(
-        os.path.join(os.path.dirname(__file__), "..",
-                     "checkpoints", f"synthetic_{model_name}"))
+        os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                     os.environ.get("TS_CKPT", f"synthetic_{model_name}")))
     tcfg = TrainerConfig(
         lr=8e-4, lr_epochs=f"{epochs * 2 // 3},{epochs * 5 // 6}:2",
         epochs=epochs, batch_size=bs, min_interval=interval,

@@ -390,3 +390,74 @@ def test_texture_atlas_labels_split_views(tmp_path, rng):
     used = set(labels[labels >= 0].tolist())
     assert used == {0, 1}
     assert ((labels >= 0) == valid.any(1)).all() or (labels >= 0).all()
+
+
+def test_clean_remove_spurious_and_spikes(rng):
+    from deep3d_aerial_tpu.mesh.clean import remove_spikes, remove_spurious
+
+    # main grid component + a detached 2-triangle islet
+    pts = grid_points(8, 1.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=0.9))
+    n0 = len(verts)
+    islet_v = np.array([[100.0, 100, 0], [101, 100, 0], [100, 101, 0],
+                        [101, 101, 0]], np.float32)
+    verts = np.concatenate([verts, islet_v])
+    islet_f = np.array([[n0, n0 + 1, n0 + 2], [n0 + 1, n0 + 3, n0 + 2]])
+    all_faces = np.concatenate([faces, islet_f])
+
+    kept = remove_spurious(all_faces, min_faces=5)
+    assert len(kept) == len(faces)  # islet dropped
+    assert (kept < n0).all()
+
+    # spike: one vertex yanked far away -> its faces become slivers
+    verts2 = verts.copy()
+    verts2[10, 2] += 500.0
+    kept2 = remove_spikes(verts2, faces)
+    assert len(kept2) < len(faces)
+    assert not (kept2 == 10).any()
+
+
+def test_clean_close_holes(rng):
+    from deep3d_aerial_tpu.mesh.clean import boundary_loops, close_holes
+
+    pts = grid_points(10, 1.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=0.9))
+    # punch a hole: remove faces incident to one interior vertex
+    interior = 45
+    hole_faces = faces[~(faces == interior).any(1)]
+    n_loops_before = len(boundary_loops(hole_faces))
+    closed = close_holes(verts, hole_faces, max_edges=12)
+    assert len(closed) > len(hole_faces)
+    # the small interior loop is filled; the outer border stays open
+    assert len(boundary_loops(closed)) < n_loops_before
+
+
+def test_openmvs_mesh_config_loads_reference_yaml():
+    """The reference's own shipped mesh/config.yaml must load 1:1."""
+    from deep3d_aerial_tpu.mesh.openmvs_config import load_openmvs_mesh_config
+
+    mesh, refine, photo, tex = load_openmvs_mesh_config(
+        "/root/reference/mesh/config.yaml")
+    assert mesh.insert_distance == 1.5
+    assert mesh.remove_spurious == 20
+    assert mesh.remove_spikes is True
+    assert mesh.close_holes == 30
+    assert mesh.smooth_mesh == 1
+    assert photo.max_views == 8
+    assert photo.regularity_weight == 0.2
+    assert abs(photo.gradient_step - 0.05) < 1e-9  # 45.05 normalization
+    assert tex["empty_color"] == (0xA6, 0xA6, 0xA6)
+    assert "RECONSTRUCTMESH.bUseFreeSpaceSupport" in tex["ignored"]
+
+
+def test_clean_mesh_pipeline_order(rng):
+    from deep3d_aerial_tpu.mesh.clean import clean_mesh
+
+    pts = grid_points(12, 1.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=0.9))
+    colors = np.full((len(verts), 3), 50, np.uint8)
+    v2, f2, c2 = clean_mesh(verts, faces, colors,
+                            remove_spurious_faces=5, spikes=True,
+                            holes=20, smooth=2, target_faces=0)
+    assert len(f2) > 0
+    assert len(c2) == len(v2)
