@@ -55,8 +55,15 @@ def face_view_labels(
     faces: np.ndarray,
     views: Sequence[TextureView],
     smooth_iters: int = 2,
+    outlier_threshold: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Best-view label per face ([F] int, -1 = unseen) + validity [F, V]."""
+    """Best-view label per face ([F] int, -1 = unseen) + validity [F, V].
+
+    `outlier_threshold` > 0 enables photo-outlier rejection
+    (fOutlierThreshold): a view whose face color deviates from the
+    cross-view median by more than the threshold (in [0,1] gray units —
+    moving objects, specularities, misregistration) is excluded from the
+    label competition for that face."""
     n_f = len(faces)
     fv = vertices[faces]  # [F, 3, 3]
     centers = fv.mean(1)
@@ -67,6 +74,7 @@ def face_view_labels(
 
     scores = np.full((n_f, len(views)), -np.inf, np.float64)
     valid = np.zeros((n_f, len(views)), bool)
+    fcol = np.full((n_f, len(views)), np.nan, np.float64)
     for vi, view in enumerate(views):
         H, W = view.image.shape[:2]
         u, v, z = _project(vertices, view)
@@ -78,6 +86,25 @@ def face_view_labels(
         cosang = np.sum(rays * fn, axis=1)
         scores[f_ok, vi] = cosang[f_ok]
         valid[:, vi] = f_ok
+        if outlier_threshold > 0 and f_ok.any():
+            img = view.image
+            gray = (np.asarray(img, np.float64).mean(-1)
+                    if img.ndim == 3 else np.asarray(img, np.float64))
+            if gray.max() > 1.5:
+                gray = gray / 255.0
+            cu = np.clip(np.round(u[faces].mean(1)), 0, W - 1).astype(int)
+            cv = np.clip(np.round(v[faces].mean(1)), 0, H - 1).astype(int)
+            fcol[f_ok, vi] = gray[cv[f_ok], cu[f_ok]]
+
+    if outlier_threshold > 0:
+        with np.errstate(invalid="ignore"):
+            med = np.nanmedian(fcol, axis=1)
+            outlier = np.abs(fcol - med[:, None]) > outlier_threshold
+        # never reject ALL views of a face
+        keep_any = ~outlier & valid
+        has_inlier = keep_any.any(1)
+        scores[outlier & has_inlier[:, None]] = -np.inf
+        valid = np.where(has_inlier[:, None], keep_any, valid)
 
     labels = np.where(valid.any(1), scores.argmax(1), -1)
 
@@ -156,6 +183,8 @@ def build_texture_atlas(
     gutter: int = 2,
     max_size: int = 8192,
     empty_color: Tuple[int, int, int] = (166, 166, 166),  # nColEmpty
+    outlier_threshold: float = 0.0,   # fOutlierThreshold
+    seam_level: bool = False,         # bLocalSeamLeveling
 ) -> TextureAtlas:
     """Pack best-view image crops into one atlas; per-face-corner UVs."""
     n_f = len(faces)
@@ -165,7 +194,8 @@ def build_texture_atlas(
         return TextureAtlas(np.broadcast_to(empty, (4, 4, 3)).copy(), uv,
                             np.full(n_f, -1, np.int32))
 
-    labels, _ = face_view_labels(vertices, faces, views, smooth_iters)
+    labels, _ = face_view_labels(vertices, faces, views, smooth_iters,
+                                 outlier_threshold=outlier_threshold)
     charts = _charts(faces, labels)
 
     # per-view vertex projections (reused across charts)
@@ -220,7 +250,55 @@ def build_texture_atlas(
             uv[comp, :, 1] = np.clip(1.0 - fv, 0, 1)  # bottom-left origin
         else:
             uv[comp] = [(ax + 1) / atlas_w, 1.0 - (ay + 1) / atlas_w]
+
+    if seam_level and len(charts) > 1:
+        _local_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
+                          proj, views)
     return TextureAtlas(atlas, uv, labels.astype(np.int32))
+
+
+def _local_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
+                      proj, views):
+    """bLocalSeamLeveling analog: per-chart constant RGB offset so seam
+    vertices agree with the mean color all adjacent charts sample there.
+    (OpenMVS solves a smooth leveling field; the constant-per-chart
+    offset is the zeroth-order term and removes the dominant exposure
+    steps between views.)"""
+    # vertex -> list of (chart, sampled rgb)
+    samples: dict = {}
+    for ci, comp in enumerate(charts):
+        lab = labels[comp[0]]
+        if lab < 0:
+            continue
+        img = views[lab].image
+        if img.dtype != np.uint8:
+            img = np.clip(np.asarray(img, np.float64) * 255, 0, 255)
+        if img.ndim == 2:
+            img = np.dstack([img] * 3)
+        H, W = img.shape[:2]
+        u, v = proj[lab]
+        for vid in np.unique(faces[comp].ravel()):
+            x = int(np.clip(round(u[vid]), 0, W - 1))
+            y = int(np.clip(round(v[vid]), 0, H - 1))
+            samples.setdefault(int(vid), []).append(
+                (ci, np.asarray(img[y, x][:3], np.float64)))
+    # per-chart offset = mean over its multi-chart vertices of
+    # (cross-chart mean - own sample)
+    acc: dict = {}
+    for vid, lst in samples.items():
+        if len(lst) < 2:
+            continue
+        mean = np.mean([c for _, c in lst], axis=0)
+        for ci, col in lst:
+            acc.setdefault(ci, []).append(mean - col)
+    for ci, deltas in acc.items():
+        off = np.mean(deltas, axis=0)
+        w, h, _, _, _, lab = rects[ci]
+        if lab < 0 or ci not in pos:
+            continue
+        ax, ay = pos[ci]
+        region = atlas[ay:ay + h, ax:ax + w].astype(np.float64) + off
+        atlas[ay:ay + h, ax:ax + w] = np.clip(region, 0, 255).astype(np.uint8)
 
 
 def _shelf_pack(rects, order, W, H, gutter):
@@ -348,13 +426,17 @@ def texture_atlas_mesh_file(
     smooth_iters: int = 2,
     write_obj: bool = False,
     empty_color: Tuple[int, int, int] = (166, 166, 166),
+    outlier_threshold: float = 0.0,
+    seam_level: bool = False,
 ) -> TextureAtlas:
     """File driver: mesh PLY -> atlas-textured PLY + PNG (+ optional OBJ)."""
     from .trimesh_io import read_mesh_ply
 
     verts, faces = read_mesh_ply(src_ply)
     res = build_texture_atlas(verts, faces, views, smooth_iters=smooth_iters,
-                              empty_color=empty_color)
+                              empty_color=empty_color,
+                              outlier_threshold=outlier_threshold,
+                              seam_level=seam_level)
     png = os.path.splitext(os.fspath(dst_ply))[0] + ".png"
     from PIL import Image
 

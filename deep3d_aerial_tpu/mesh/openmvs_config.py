@@ -26,8 +26,8 @@ _IGNORED = {
     "fSplitMaxArea", "bUseConstantWeight", "bUseFreeSpaceSupport",
     "nEnsureEdgeSize", "nMaxFaceArea", "fScaleStep",
     "fRatioRigidityElasticity", "fPlanarVertexRatio", "nOrthoMapResolution",
-    "nTextureSizeMultiple", "nRectPackingHeuristic", "fOutlierThreshold",
-    "bGlobalSeamLeveling", "bLocalSeamLeveling", "fRatioDataSmoothness",
+    "nTextureSizeMultiple", "nRectPackingHeuristic",
+    "bGlobalSeamLeveling", "fRatioDataSmoothness",
 }
 
 
@@ -101,6 +101,10 @@ def load_openmvs_mesh_config(
         if k == "nColEmpty":
             c = int(v) & 0xFFFFFF
             tex["empty_color"] = ((c >> 16) & 255, (c >> 8) & 255, c & 255)
+        elif k == "fOutlierThreshold":
+            tex["outlier_threshold"] = float(v)
+        elif k == "bLocalSeamLeveling":
+            tex["seam_level"] = bool(v)
         elif k == "fDecimateMesh":
             tex["decimate_ratio"] = float(v)
         elif k == "nCloseHoles":

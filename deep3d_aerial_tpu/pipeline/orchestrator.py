@@ -380,8 +380,9 @@ class AerialPipeline:
             if tex.get("ignored"):
                 print(f"[mesh] config keys without an in-process equivalent "
                       f"(ignored): {', '.join(tex['ignored'])}")
-            if "empty_color" in tex:
-                atlas_kwargs["empty_color"] = tex["empty_color"]
+            for key in ("empty_color", "outlier_threshold", "seam_level"):
+                if key in tex:
+                    atlas_kwargs[key] = tex[key]
         out = []
         for fname in sorted(os.listdir(self.fusion_path)):
             if not fname.endswith(".ply"):

@@ -448,6 +448,8 @@ def test_openmvs_mesh_config_loads_reference_yaml():
     assert abs(photo.gradient_step - 0.05) < 1e-9  # 45.05 normalization
     assert tex["empty_color"] == (0xA6, 0xA6, 0xA6)
     assert "RECONSTRUCTMESH.bUseFreeSpaceSupport" in tex["ignored"]
+    assert tex["outlier_threshold"] == 0.06
+    assert tex["seam_level"] is True
 
 
 def test_clean_mesh_pipeline_order(rng):
@@ -461,3 +463,58 @@ def test_clean_mesh_pipeline_order(rng):
                             holes=20, smooth=2, target_faces=0)
     assert len(f2) > 0
     assert len(c2) == len(v2)
+
+
+def test_atlas_outlier_rejection_and_seam_level(rng):
+    """fOutlierThreshold drops the photometrically deviant view;
+    bLocalSeamLeveling pulls adjacent charts toward a shared mean."""
+    from deep3d_aerial_tpu.fusion.consistency import ViewGeometry
+    from deep3d_aerial_tpu.geometry.camera import Pose
+    from deep3d_aerial_tpu.mesh import MeshConfig, delaunay_mesh_25d
+    from deep3d_aerial_tpu.mesh.atlas import (build_texture_atlas,
+                                              face_view_labels)
+    from deep3d_aerial_tpu.mesh.texture import TextureView
+    from tests.conftest import toy_camera
+
+    pts = grid_points(10, 2.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.8))
+    cam = toy_camera(width=64, height=48, f=40.0)
+    R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+
+    def mkview(gray, tilt_c):
+        pose = Pose(R_down, -R_down @ np.array([tilt_c, 9.0, 30.0]))
+        img = np.full((48, 64, 3), gray, np.uint8)
+        return TextureView(geom=ViewGeometry.create(cam.K, pose.T_cw),
+                           image=img)
+
+    # two agreeing mid-gray views + one bright outlier (e.g. overexposed)
+    views = [mkview(100, 8.0), mkview(110, 10.0), mkview(250, 9.0)]
+    labels, _ = face_view_labels(verts, faces, views, smooth_iters=0,
+                                 outlier_threshold=0.2)
+    assert not (labels == 2).any()       # outlier view never wins
+    labels2, _ = face_view_labels(verts, faces, views, smooth_iters=0)
+    # without rejection, the nadir-est view (2) wins somewhere
+    assert (labels2 == 2).any()
+
+    # seam leveling: two-view atlas, offsets shrink the brightness step
+    v2 = [mkview(100, 4.0), mkview(140, 14.0)]
+    res_raw = build_texture_atlas(verts, faces, v2, seam_level=False)
+    res_lvl = build_texture_atlas(verts, faces, v2, seam_level=True)
+    lab = res_lvl.labels
+
+    def chart_means(res):
+        m = []
+        A = res.image.shape[0]
+        for which in (0, 1):
+            sel = res.uv[lab == which].reshape(-1, 2)
+            if len(sel) == 0:
+                return None
+            xs = np.clip((sel[:, 0] * A).astype(int), 0, A - 1)
+            ys = np.clip(((1 - sel[:, 1]) * A).astype(int), 0, A - 1)
+            m.append(res.image[ys, xs].mean())
+        return m
+
+    raw = chart_means(res_raw)
+    lvl = chart_means(res_lvl)
+    if raw is not None and lvl is not None:
+        assert abs(lvl[0] - lvl[1]) < abs(raw[0] - raw[1]) + 1e-9
