@@ -227,3 +227,28 @@ def test_window_confidence_matches_reference_numerics(rng):
 
     ours = np.asarray(window_confidence(jnp.asarray(prob)))
     np.testing.assert_allclose(ours, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_window_confidence_matches_reference_torch_oracle(rng):
+    """Numeric parity of the confidence head with the reference's exact
+    torch formulation (cas_mvsnet.py:72-76): 4*avg_pool3d over D padded
+    (1,2), expected-index truncated to long, clamped, gathered."""
+    import torch
+    import torch.nn.functional as F
+
+    from deep3d_aerial_tpu.models.cascade import window_confidence
+
+    D, H, W = 16, 7, 9
+    scores = rng.normal(size=(D, H, W)).astype(np.float32) * 3
+    prob = np.exp(scores) / np.exp(scores).sum(0, keepdims=True)
+
+    pv = torch.from_numpy(prob)[None]  # [1, D, H, W]
+    sum4 = 4 * F.avg_pool3d(
+        F.pad(pv.unsqueeze(1), pad=(0, 0, 0, 0, 1, 2)),
+        (4, 1, 1), stride=1, padding=0).squeeze(1)
+    idx = (pv * torch.arange(D, dtype=torch.float32)[None, :, None, None]
+           ).sum(1).long().clamp(0, D - 1)
+    expect = torch.gather(sum4, 1, idx.unsqueeze(1)).squeeze(1)[0].numpy()
+
+    got = np.asarray(window_confidence(jnp.asarray(prob)))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
