@@ -56,6 +56,7 @@ def face_view_labels(
     views: Sequence[TextureView],
     smooth_iters: int = 2,
     outlier_threshold: float = 0.0,
+    data_smoothness_ratio: float = 0.1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Best-view label per face ([F] int, -1 = unseen) + validity [F, V].
 
@@ -63,7 +64,14 @@ def face_view_labels(
     (fOutlierThreshold): a view whose face color deviates from the
     cross-view median by more than the threshold (in [0,1] gray units —
     moving objects, specularities, misregistration) is excluded from the
-    label competition for that face."""
+    label competition for that face.
+
+    `data_smoothness_ratio` (fRatioDataSmoothness, reference
+    mesh/config.yaml TEXTUREMESH) trades label-data fidelity against chart
+    compactness: a face only adopts the neighborhood-majority label when
+    the view-score sacrifice is within `(1 - ratio)` of the full score
+    range — ratio→1 keeps every face on its own best view (max quality),
+    ratio→0 smooths freely (max chart compactness)."""
     n_f = len(faces)
     fv = vertices[faces]  # [F, 3, 3]
     centers = fv.mean(1)
@@ -97,7 +105,11 @@ def face_view_labels(
             fcol[f_ok, vi] = gray[cv[f_ok], cu[f_ok]]
 
     if outlier_threshold > 0:
-        with np.errstate(invalid="ignore"):
+        import warnings
+
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            # faces no view colors (all-NaN rows) are handled by has_inlier
+            warnings.simplefilter("ignore", RuntimeWarning)
             med = np.nanmedian(fcol, axis=1)
             outlier = np.abs(fcol - med[:, None]) > outlier_threshold
         # never reject ALL views of a face
@@ -119,8 +131,14 @@ def face_view_labels(
                     continue
                 vals, cnt = np.unique(nls, return_counts=True)
                 top = vals[cnt.argmax()]
-                # adopt the neighborhood majority when it dominates
+                # adopt the neighborhood majority when it dominates AND
+                # the data-score sacrifice stays within the smoothness
+                # allowance (scores are cosines, full range = 2)
                 if cnt.max() >= 2 and top != labels[f]:
+                    if labels[f] >= 0:
+                        sacrifice = scores[f, labels[f]] - scores[f, top]
+                        if sacrifice > (1.0 - data_smoothness_ratio) * 2.0:
+                            continue
                     labels[f] = top
                     changed = True
             if not changed:
@@ -185,6 +203,10 @@ def build_texture_atlas(
     empty_color: Tuple[int, int, int] = (166, 166, 166),  # nColEmpty
     outlier_threshold: float = 0.0,   # fOutlierThreshold
     seam_level: bool = False,         # bLocalSeamLeveling
+    global_seam_level: bool = False,  # bGlobalSeamLeveling
+    size_multiple: int = 0,           # nTextureSizeMultiple (0 = pow2)
+    packing_heuristic: int = 3,       # nRectPackingHeuristic
+    data_smoothness_ratio: float = 0.1,  # fRatioDataSmoothness
 ) -> TextureAtlas:
     """Pack best-view image crops into one atlas; per-face-corner UVs."""
     n_f = len(faces)
@@ -195,7 +217,8 @@ def build_texture_atlas(
                             np.full(n_f, -1, np.int32))
 
     labels, _ = face_view_labels(vertices, faces, views, smooth_iters,
-                                 outlier_threshold=outlier_threshold)
+                                 outlier_threshold=outlier_threshold,
+                                 data_smoothness_ratio=data_smoothness_ratio)
     charts = _charts(faces, labels)
 
     # per-view vertex projections (reused across charts)
@@ -220,15 +243,8 @@ def build_texture_atlas(
         y1 = int(np.clip(np.ceil(v[vids].max()), 0, H - 1))
         rects.append((x1 - x0 + 1, y1 - y0 + 1, ci, x0, y0, lab))
 
-    # shelf-pack (height-sorted) into a power-of-two square
-    order = sorted(range(len(rects)), key=lambda i: -rects[i][1])
-    need = max(max(r[0] for r in rects) + 2 * gutter, 64)
-    atlas_w = 1 << int(np.ceil(np.log2(need)))
-    while True:
-        pos, ok = _shelf_pack(rects, order, atlas_w, atlas_w, gutter)
-        if ok or atlas_w >= max_size:
-            break
-        atlas_w *= 2
+    pos, atlas_w = _pack_charts(rects, gutter, max_size,
+                                size_multiple, packing_heuristic)
     atlas = np.empty((atlas_w, atlas_w, 3), np.uint8)
     atlas[:] = empty
 
@@ -251,20 +267,19 @@ def build_texture_atlas(
         else:
             uv[comp] = [(ax + 1) / atlas_w, 1.0 - (ay + 1) / atlas_w]
 
+    if global_seam_level and len(charts) > 1:
+        _global_seam_level(atlas, vertices, faces, charts, labels, rects,
+                           pos, proj, views)
     if seam_level and len(charts) > 1:
         _local_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
                           proj, views)
     return TextureAtlas(atlas, uv, labels.astype(np.int32))
 
 
-def _local_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
-                      proj, views):
-    """bLocalSeamLeveling analog: per-chart constant RGB offset so seam
-    vertices agree with the mean color all adjacent charts sample there.
-    (OpenMVS solves a smooth leveling field; the constant-per-chart
-    offset is the zeroth-order term and removes the dominant exposure
-    steps between views.)"""
-    # vertex -> list of (chart, sampled rgb)
+def _seam_samples(vertices, faces, charts, labels, proj, views):
+    """vertex id -> list of (chart index, sampled rgb float64[3]) for
+    every chart whose source view sees that vertex (shared vertices are
+    the texture seams both leveling modes reason about)."""
     samples: dict = {}
     for ci, comp in enumerate(charts):
         lab = labels[comp[0]]
@@ -282,6 +297,27 @@ def _local_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
             y = int(np.clip(round(v[vid]), 0, H - 1))
             samples.setdefault(int(vid), []).append(
                 (ci, np.asarray(img[y, x][:3], np.float64)))
+    return samples
+
+
+def _apply_chart_offsets(atlas, offsets, rects, pos):
+    for ci, off in offsets.items():
+        w, h, _, _, _, lab = rects[ci]
+        if lab < 0 or ci not in pos:
+            continue
+        ax, ay = pos[ci]
+        region = atlas[ay:ay + h, ax:ax + w].astype(np.float64) + off
+        atlas[ay:ay + h, ax:ax + w] = np.clip(region, 0, 255).astype(np.uint8)
+
+
+def _local_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
+                      proj, views):
+    """bLocalSeamLeveling analog: per-chart constant RGB offset so seam
+    vertices agree with the mean color all adjacent charts sample there.
+    (OpenMVS solves a smooth leveling field; the constant-per-chart
+    offset is the zeroth-order term and removes the dominant exposure
+    steps between views.)"""
+    samples = _seam_samples(vertices, faces, charts, labels, proj, views)
     # per-chart offset = mean over its multi-chart vertices of
     # (cross-chart mean - own sample)
     acc: dict = {}
@@ -291,14 +327,146 @@ def _local_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
         mean = np.mean([c for _, c in lst], axis=0)
         for ci, col in lst:
             acc.setdefault(ci, []).append(mean - col)
-    for ci, deltas in acc.items():
-        off = np.mean(deltas, axis=0)
-        w, h, _, _, _, lab = rects[ci]
-        if lab < 0 or ci not in pos:
+    _apply_chart_offsets(
+        atlas, {ci: np.mean(d, axis=0) for ci, d in acc.items()}, rects, pos)
+
+
+def _global_seam_level(atlas, vertices, faces, charts, labels, rects, pos,
+                       proj, views, reg: float = 1e-3, iters: int = 200):
+    """bGlobalSeamLeveling analog: per-chart RGB offsets solved JOINTLY
+    over the whole chart graph — minimize
+    sum_seam-pairs ||(o_i + c_i) - (o_j + c_j)||^2 + reg * sum ||o_i||^2.
+
+    Unlike the local pass (each chart independently matches its own seam
+    means) the joint solve propagates exposure corrections across chains
+    of charts that never touch directly — OpenMVS's global leveling term.
+    Solved matrix-free by Jacobi iteration on the chart-graph Laplacian
+    (diagonally dominant for reg > 0), so chart count is unbounded."""
+    samples = _seam_samples(vertices, faces, charts, labels, proj, views)
+    n_ch = len(charts)
+    deg = np.zeros(n_ch, np.float64)
+    b = np.zeros((n_ch, 3), np.float64)
+    pair_i: List[int] = []
+    pair_j: List[int] = []
+    for vid, lst in samples.items():
+        if len(lst) < 2:
             continue
-        ax, ay = pos[ci]
-        region = atlas[ay:ay + h, ax:ax + w].astype(np.float64) + off
-        atlas[ay:ay + h, ax:ax + w] = np.clip(region, 0, 255).astype(np.uint8)
+        for a in range(len(lst)):
+            for c in range(len(lst)):
+                if a == c:
+                    continue
+                ci, coli = lst[a]
+                cj, colj = lst[c]
+                deg[ci] += 1.0
+                b[ci] += colj - coli
+                pair_i.append(ci)
+                pair_j.append(cj)
+    if not pair_i:
+        return
+    pi = np.asarray(pair_i)
+    pj = np.asarray(pair_j)
+    off = np.zeros((n_ch, 3), np.float64)
+    denom = (deg + reg)[:, None]
+    for _ in range(iters):
+        nbr_sum = np.zeros((n_ch, 3), np.float64)
+        np.add.at(nbr_sum, pi, off[pj])
+        new = (b + nbr_sum) / denom
+        if np.abs(new - off).max() < 1e-6:
+            off = new
+            break
+        off = new
+    _apply_chart_offsets(
+        atlas, {ci: off[ci] for ci in np.unique(pi)}, rects, pos)
+
+
+def _round_size(n: int, multiple: int) -> int:
+    """Atlas side length rule — nTextureSizeMultiple: 0 = next power of
+    two (OpenMVS default), k > 0 = next multiple of k."""
+    n = max(int(n), 1)
+    if multiple <= 0:
+        return 1 << int(np.ceil(np.log2(n)))
+    return int(np.ceil(n / multiple)) * multiple
+
+
+def _pack_charts(rects, gutter, max_size, size_multiple, heuristic):
+    """Pack chart rects into the smallest square honoring the size rule.
+
+    nRectPackingHeuristic mapping (redesign of the OpenMVS rect-packer
+    family — same knob role, our packers):
+      0 shelf, height-sorted   1 shelf, width-sorted
+      2 shelf, area-sorted     >=3 skyline bottom-left (default; tightest)
+    """
+    if heuristic == 1:
+        key = lambda i: -rects[i][0]
+    elif heuristic == 2:
+        key = lambda i: -(rects[i][0] * rects[i][1])
+    else:
+        key = lambda i: -rects[i][1]
+    order = sorted(range(len(rects)), key=key)
+    need = max(max(max(r[0], r[1]) for r in rects) + 2 * gutter, 64)
+    atlas_w = _round_size(need, size_multiple)
+    while True:
+        if heuristic >= 3:
+            pos, ok = _skyline_pack(rects, order, atlas_w, atlas_w, gutter)
+        else:
+            pos, ok = _shelf_pack(rects, order, atlas_w, atlas_w, gutter)
+        if ok or atlas_w >= max_size:
+            return pos, atlas_w
+        atlas_w = min(_round_size(atlas_w + max(atlas_w // 2, 1),
+                                  size_multiple), max(max_size, 1))
+
+
+def _skyline_pack(rects, order, W, H, gutter):
+    """Bottom-left skyline packing over a segment list; places each rect
+    at the lowest (then leftmost) position — tighter than shelves for
+    the mixed chart sizes an aerial block produces."""
+    segs = [(0, W, 0)]  # (x, width, height) left-to-right
+    pos = {}
+
+    def height_over(x, w):
+        top = 0
+        for sx, sw, sh in segs:
+            if sx + sw <= x or sx >= x + w:
+                continue
+            top = max(top, sh)
+        return top
+
+    for i in order:
+        w, h = rects[i][0] + 2 * gutter, rects[i][1] + 2 * gutter
+        if w > W:
+            return pos, False
+        best = None  # (y, x)
+        for sx, _sw, _sh in segs:
+            if sx + w > W:
+                continue
+            y = height_over(sx, w)
+            if best is None or (y, sx) < best:
+                best = (y, sx)
+        if best is None or best[0] + h > H:
+            return pos, False
+        y, x = best
+        pos[rects[i][2]] = (x + gutter, y + gutter)
+        # splice the new plateau [x, x+w) at height y+h into the skyline
+        new_segs = []
+        for sx, sw, sh in segs:
+            if sx + sw <= x or sx >= x + w:
+                new_segs.append((sx, sw, sh))
+                continue
+            if sx < x:
+                new_segs.append((sx, x - sx, sh))
+            if sx + sw > x + w:
+                new_segs.append((x + w, sx + sw - (x + w), sh))
+        new_segs.append((x, w, y + h))
+        new_segs.sort()
+        # merge equal-height neighbors
+        segs = []
+        for s in new_segs:
+            if segs and segs[-1][2] == s[2] \
+                    and segs[-1][0] + segs[-1][1] == s[0]:
+                segs[-1] = (segs[-1][0], segs[-1][1] + s[1], s[2])
+            else:
+                segs.append(s)
+    return pos, True
 
 
 def _shelf_pack(rects, order, W, H, gutter):
@@ -425,18 +593,16 @@ def texture_atlas_mesh_file(
     views: Sequence[TextureView],
     smooth_iters: int = 2,
     write_obj: bool = False,
-    empty_color: Tuple[int, int, int] = (166, 166, 166),
-    outlier_threshold: float = 0.0,
-    seam_level: bool = False,
+    **atlas_kwargs,
 ) -> TextureAtlas:
-    """File driver: mesh PLY -> atlas-textured PLY + PNG (+ optional OBJ)."""
+    """File driver: mesh PLY -> atlas-textured PLY + PNG (+ optional OBJ).
+    `atlas_kwargs` forward to :func:`build_texture_atlas` (empty_color,
+    outlier_threshold, seam/global seam leveling, packing knobs...)."""
     from .trimesh_io import read_mesh_ply
 
     verts, faces = read_mesh_ply(src_ply)
     res = build_texture_atlas(verts, faces, views, smooth_iters=smooth_iters,
-                              empty_color=empty_color,
-                              outlier_threshold=outlier_threshold,
-                              seam_level=seam_level)
+                              **atlas_kwargs)
     png = os.path.splitext(os.fspath(dst_ply))[0] + ".png"
     from PIL import Image
 

@@ -26,8 +26,6 @@ _IGNORED = {
     "fSplitMaxArea", "bUseConstantWeight", "bUseFreeSpaceSupport",
     "nEnsureEdgeSize", "nMaxFaceArea", "fScaleStep",
     "fRatioRigidityElasticity", "fPlanarVertexRatio", "nOrthoMapResolution",
-    "nTextureSizeMultiple", "nRectPackingHeuristic",
-    "bGlobalSeamLeveling", "fRatioDataSmoothness",
 }
 
 
@@ -105,6 +103,14 @@ def load_openmvs_mesh_config(
             tex["outlier_threshold"] = float(v)
         elif k == "bLocalSeamLeveling":
             tex["seam_level"] = bool(v)
+        elif k == "bGlobalSeamLeveling":
+            tex["global_seam_level"] = bool(v)
+        elif k == "nTextureSizeMultiple":
+            tex["size_multiple"] = int(v)
+        elif k == "nRectPackingHeuristic":
+            tex["packing_heuristic"] = int(v)
+        elif k == "fRatioDataSmoothness":
+            tex["data_smoothness_ratio"] = float(v)
         elif k == "fDecimateMesh":
             tex["decimate_ratio"] = float(v)
         elif k == "nCloseHoles":

@@ -380,7 +380,9 @@ class AerialPipeline:
             if tex.get("ignored"):
                 print(f"[mesh] config keys without an in-process equivalent "
                       f"(ignored): {', '.join(tex['ignored'])}")
-            for key in ("empty_color", "outlier_threshold", "seam_level"):
+            for key in ("empty_color", "outlier_threshold", "seam_level",
+                        "global_seam_level", "size_multiple",
+                        "packing_heuristic", "data_smoothness_ratio"):
                 if key in tex:
                     atlas_kwargs[key] = tex[key]
         out = []

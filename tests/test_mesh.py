@@ -518,3 +518,156 @@ def test_atlas_outlier_rejection_and_seam_level(rng):
     lvl = chart_means(res_lvl)
     if raw is not None and lvl is not None:
         assert abs(lvl[0] - lvl[1]) < abs(raw[0] - raw[1]) + 1e-9
+
+
+def _mkview_gray(cam, gray, cx, cy=9.0, alt=30.0, w=64, h=48):
+    from deep3d_aerial_tpu.fusion.consistency import ViewGeometry
+    from deep3d_aerial_tpu.geometry.camera import Pose
+    from deep3d_aerial_tpu.mesh.texture import TextureView
+
+    R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    pose = Pose(R_down, -R_down @ np.array([cx, cy, alt]))
+    img = np.full((h, w, 3), gray, np.uint8)
+    return TextureView(geom=ViewGeometry.create(cam.K, pose.T_cw), image=img)
+
+
+def test_skyline_pack_no_overlap_and_tighter():
+    """nRectPackingHeuristic>=3 skyline: valid placement, never looser
+    than the shelf packers on a mixed-size rect set."""
+    from deep3d_aerial_tpu.mesh.atlas import _pack_charts, _skyline_pack
+
+    rng = np.random.default_rng(7)
+    rects = []
+    for ci in range(40):
+        w = int(rng.integers(4, 60))
+        h = int(rng.integers(4, 60))
+        rects.append((w, h, ci, 0, 0, 0))
+
+    order = sorted(range(len(rects)), key=lambda i: -rects[i][1])
+    pos, ok = _skyline_pack(rects, order, 256, 256, gutter=2)
+    assert ok and len(pos) == len(rects)
+    # pairwise non-overlap (including nothing outside the canvas)
+    boxes = []
+    for w, h, ci, _, _, _ in rects:
+        x, y = pos[ci]
+        assert 0 <= x and 0 <= y and x + w <= 256 and y + h <= 256
+        boxes.append((x, y, w, h))
+    for i in range(len(boxes)):
+        xi, yi, wi, hi = boxes[i]
+        for j in range(i + 1, len(boxes)):
+            xj, yj, wj, hj = boxes[j]
+            assert (xi + wi <= xj or xj + wj <= xi
+                    or yi + hi <= yj or yj + hj <= yi), (i, j)
+
+    # skyline square must not exceed the shelf square for the same set
+    _, w_shelf = _pack_charts(rects, 2, 8192, 0, heuristic=0)
+    _, w_sky = _pack_charts(rects, 2, 8192, 0, heuristic=3)
+    assert w_sky <= w_shelf
+    # shelf variants also produce complete packings
+    for heur in (0, 1, 2):
+        p, w_sq = _pack_charts(rects, 2, 8192, 0, heuristic=heur)
+        assert len(p) == len(rects)
+
+
+def test_atlas_size_multiple(rng):
+    """nTextureSizeMultiple forces the atlas side onto multiples of k
+    instead of powers of two."""
+    from deep3d_aerial_tpu.mesh.atlas import _round_size, build_texture_atlas
+    from tests.conftest import toy_camera
+
+    assert _round_size(65, 0) == 128
+    assert _round_size(65, 100) == 100
+    assert _round_size(101, 100) == 200
+
+    pts = grid_points(10, 2.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.8))
+    cam = toy_camera(width=64, height=48, f=40.0)
+    views = [_mkview_gray(cam, 120, 8.0), _mkview_gray(cam, 130, 10.0)]
+    res = build_texture_atlas(verts, faces, views, size_multiple=100)
+    assert res.image.shape[0] % 100 == 0
+    # UVs still land on the right content (solid grays)
+    A = res.image.shape[0]
+    for fi in range(0, len(faces), 7):
+        lab = res.labels[fi]
+        if lab < 0:
+            continue
+        x = int(round(res.uv[fi, 0, 0] * A))
+        y = int(round((1.0 - res.uv[fi, 0, 1]) * A))
+        got = res.image[min(y, A - 1), min(x, A - 1)]
+        assert (got == views[lab].image[0, 0]).all()
+
+
+def test_atlas_global_seam_level_chain(rng):
+    """bGlobalSeamLeveling propagates exposure correction across a CHAIN
+    of charts; the joint solve levels charts that never touch."""
+    from deep3d_aerial_tpu.mesh.atlas import build_texture_atlas
+    from tests.conftest import toy_camera
+
+    pts = grid_points(14, 2.0)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=1.8))
+    cam = toy_camera(width=64, height=48, f=40.0)
+    # three views along x with a strong exposure staircase
+    views = [_mkview_gray(cam, 80, 2.0, cy=13.0),
+             _mkview_gray(cam, 140, 13.0, cy=13.0),
+             _mkview_gray(cam, 200, 24.0, cy=13.0)]
+
+    raw = build_texture_atlas(verts, faces, views)
+    glo = build_texture_atlas(verts, faces, views, global_seam_level=True)
+    lab = glo.labels
+
+    def chart_means(res):
+        m = {}
+        A = res.image.shape[0]
+        for which in np.unique(lab[lab >= 0]):
+            sel = res.uv[lab == which].reshape(-1, 2)
+            xs = np.clip((sel[:, 0] * A).astype(int), 0, A - 1)
+            ys = np.clip(((1 - sel[:, 1]) * A).astype(int), 0, A - 1)
+            m[int(which)] = float(res.image[ys, xs].mean())
+        return m
+
+    m_raw = chart_means(raw)
+    m_glo = chart_means(glo)
+    if len(m_raw) >= 2:
+        spread_raw = max(m_raw.values()) - min(m_raw.values())
+        spread_glo = max(m_glo.values()) - min(m_glo.values())
+        assert spread_glo < 0.6 * spread_raw, (m_raw, m_glo)
+
+
+def test_atlas_data_smoothness_ratio(rng):
+    """fRatioDataSmoothness=1 forbids score-sacrificing label flips: the
+    smoothed labeling equals the pure-argmax labeling; small ratios
+    permit compact-chart smoothing (the default behavior)."""
+    from deep3d_aerial_tpu.mesh.atlas import face_view_labels
+    from tests.conftest import toy_camera
+
+    rng_np = np.random.default_rng(3)
+    pts = grid_points(12, 2.0)
+    pts = pts + np.concatenate(
+        [rng_np.normal(0, 0.3, (len(pts), 2)),
+         rng_np.normal(0, 1.5, (len(pts), 1))], axis=1).astype(pts.dtype)
+    verts, faces, _ = delaunay_mesh_25d(pts, MeshConfig(insert_distance=2.5))
+    cam = toy_camera(width=64, height=48, f=40.0)
+    views = [_mkview_gray(cam, 100, 6.0), _mkview_gray(cam, 120, 16.0)]
+
+    pure, _ = face_view_labels(verts, faces, views, smooth_iters=0)
+    strict, _ = face_view_labels(verts, faces, views, smooth_iters=3,
+                                 data_smoothness_ratio=1.0)
+    assert (strict == pure).all()
+    smooth, _ = face_view_labels(verts, faces, views, smooth_iters=3,
+                                 data_smoothness_ratio=0.01)
+    # smoothing with a permissive ratio is allowed to flip labels
+    assert (smooth != pure).sum() >= 0  # sanity: runs; flips permitted
+
+
+def test_openmvs_config_texture_knobs():
+    """The four newly-wired TEXTUREMESH keys come out of the loader."""
+    from deep3d_aerial_tpu.mesh.openmvs_config import load_openmvs_mesh_config
+
+    _, _, _, tex = load_openmvs_mesh_config("/root/reference/mesh/config.yaml")
+    assert tex["global_seam_level"] is True
+    assert tex["size_multiple"] == 0
+    assert tex["packing_heuristic"] == 3
+    assert abs(tex["data_smoothness_ratio"] - 0.1) < 1e-12
+    for k in ("nTextureSizeMultiple", "nRectPackingHeuristic",
+              "bGlobalSeamLeveling", "fRatioDataSmoothness"):
+        assert not any(k in item for item in tex["ignored"])
