@@ -154,14 +154,14 @@ def photometric_refine(
 
     nbr, off = vertex_adjacency(n, faces)
     deg = np.maximum(np.diff(off), 1).astype(np.float32)
-    # fixed-width neighbor table for jit (pad with self)
-    max_deg = int(np.diff(off).max())
-    table = np.tile(np.arange(n)[:, None], (1, max_deg))
-    for i in range(n):
-        nb = nbr[off[i]:off[i + 1]]
-        table[i, : len(nb)] = nb
-    table = jnp.asarray(table)
+    # CSR edge list for a segment-sum Laplacian: O(E) memory (a dense
+    # [N, max_deg] table blows up on hub vertices at production block
+    # sizes — 1M+ vertex meshes refine fine through this path)
+    rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(off))
+    nbr_j = jnp.asarray(nbr.astype(np.int32))
+    rows_j = jnp.asarray(rows)
     degj = jnp.asarray(deg)
+    connected = jnp.asarray((np.diff(off) > 0)[:, None].astype(np.float32))
 
     edge = v0[faces[:, 0]] - v0[faces[:, 1]]
     mean_edge = float(np.linalg.norm(edge, axis=1).mean() + 1e-9)
@@ -221,10 +221,8 @@ def photometric_refine(
         mean = (cols * w).sum(0) / cnt
         var = ((cols - mean) ** 2 * w).sum(0) / cnt
         photo = jnp.where(w.sum(0) >= 2, var, 0.0).mean()
-        # padded self entries contribute (max_deg - deg) copies of v to the
-        # row sum — subtract them so lap = mean(neighbors) - v
-        lap = ((v[table].sum(1) - (max_deg - degj)[:, None] * v)
-               / degj[:, None] - v)
+        nbr_sum = jax.ops.segment_sum(v[nbr_j], rows_j, num_segments=n)
+        lap = (nbr_sum / degj[:, None] - v) * connected
         reg = (lap ** 2).sum(-1).mean()
         return photo + cfg.regularity_weight * reg
 
