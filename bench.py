@@ -46,14 +46,21 @@ def main():
 
     import jax.numpy as _jnp
 
+    # default bf16 features (geometry stays f32 — docs/PERF.md): the
+    # measured-best configuration, 14.31 vs 12.99 maps/s in f32
     dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
-        os.environ.get("BENCH_DTYPE", "float32")
+        os.environ.get("BENCH_DTYPE", "bfloat16")
     ]
     model_name = os.environ.get("BENCH_MODEL", "adamvs")
     warp_impl = os.environ.get("BENCH_WARP", "pallas")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    extra = {}
+    if model_name in ("adamvs", "msrednet"):
+        # A/B knobs: planes per scan chunk, blocked-recurrence depth shards
+        extra["plane_chunk"] = int(os.environ.get("BENCH_CHUNK", "8"))
+        extra["depth_shards"] = int(os.environ.get("BENCH_SHARDS", "1"))
     model = build_model(model_name, ndepths=(48, 32, 8), num_depth=384,
-                        dtype=dtype, warp_impl=warp_impl)
+                        dtype=dtype, warp_impl=warp_impl, **extra)
     imgs, rel = _example_inputs(V=V, H=H, W=W)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, rel, 80.0, 120.0)
 

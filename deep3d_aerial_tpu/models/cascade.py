@@ -276,7 +276,15 @@ class _ChunkSweepStep(nn.Module):
     costs in a single batched warp (one large gather instead of K small
     ones — the TPU throughput lever, or the fused Pallas kernel), then
     fold K recurrent regularizer steps + online-softmax updates
-    sequentially (numerics identical to the one-plane-at-a-time loop)."""
+    sequentially (numerics identical to the one-plane-at-a-time loop).
+
+    depth_chunk may carry a leading BLOCK axis ([n, K, H, W] instead of
+    [K, H, W]): all n depth blocks advance in lockstep, the regularizer
+    runs BATCHED over the block axis (one n-batched conv dispatch per
+    plane instead of n vmapped graphs — same math, n-fold larger MXU
+    batches), and the cost build flattens blocks into one n*K-plane
+    kernel call with a single coverage cond (a vmapped lax.cond would
+    execute BOTH branches — docs/PERF.md)."""
 
     reg: nn.Module
     cost_mode: str  # 'variance' | 'correlation'
@@ -286,8 +294,15 @@ class _ChunkSweepStep(nn.Module):
     @nn.compact
     def __call__(self, carry, depth_chunk, ref_feat, src_feats, rel_projs, weights):
         states, osm = carry
+        batched = depth_chunk.ndim == 4
+        if batched:
+            n, K = depth_chunk.shape[:2]
+            flat = depth_chunk.reshape(n * K, *depth_chunk.shape[2:])
+        else:
+            K = depth_chunk.shape[0]
+            flat = depth_chunk
         costs = chunk_costs(
-            self.cost_mode, depth_chunk, ref_feat, src_feats, rel_projs,
+            self.cost_mode, flat, ref_feat, src_feats, rel_projs,
             weights, warp_impl=self.warp_impl,
         )
         if self.up:
@@ -295,14 +310,17 @@ class _ChunkSweepStep(nn.Module):
                 lambda d: jax.image.resize(
                     d, (2 * d.shape[0], 2 * d.shape[1]), method="bilinear"
                 )
-            )(depth_chunk)
+            )(flat)
         else:
-            dvs = depth_chunk
-        for k in range(depth_chunk.shape[0]):
-            out = self.reg(costs[k], *states)
+            dvs = flat
+        if batched:
+            costs = costs.reshape(n, K, *costs.shape[1:])
+            dvs = dvs.reshape(n, K, *dvs.shape[1:])
+        for k in range(K):
+            out = self.reg(costs[:, k] if batched else costs[k], *states)
             score, states = out[0], tuple(out[1:])
             osm = OnlineSoftmaxState.update(osm, score.astype(jnp.float32),
-                                            dvs[k])
+                                            dvs[:, k] if batched else dvs[k])
         return (states, osm), None
 
 
@@ -322,17 +340,32 @@ class _ShardSweep(nn.Module):
 
     @nn.compact
     def __call__(self, depths, ref_feat, src_feats, rel_projs, weights):
+        """depths [D, H, W], or [n, D/n, H, W] for the batched-block
+        ('sp') recurrence — n blocks advance in lockstep with the block
+        axis as a conv batch dim (see _ChunkSweepStep)."""
         H, W = ref_feat.shape[:2]
-        D = depths.shape[0]
+        batched = depths.ndim == 4
+        n = depths.shape[0] if batched else 1
+        D = depths.shape[1] if batched else depths.shape[0]
         out_shape = (2 * H, 2 * W) if self.up else (H, W)
-        osm0 = OnlineSoftmaxState.init(out_shape)
-        init_states = self.reg.init_states(H, W)
+        osm0 = OnlineSoftmaxState.init((n, *out_shape) if batched
+                                       else out_shape)
+        base_states = self.reg.init_states(H, W)
+        if batched:
+            init_states = tuple(jnp.zeros((n, *s.shape), s.dtype)
+                                for s in base_states)
+        else:
+            init_states = base_states
 
         # largest divisor of D not exceeding plane_chunk
         K = max(1, min(int(self.plane_chunk), D))
         while D % K:
             K -= 1
-        chunks = depths.reshape(D // K, K, H, W)
+        if batched:
+            # [steps, n, K, H, W]: scan steps outermost, blocks in lockstep
+            chunks = depths.reshape(n, D // K, K, H, W).swapaxes(0, 1)
+        else:
+            chunks = depths.reshape(D // K, K, H, W)
 
         Scan = nn.scan(
             _ChunkSweepStep,
@@ -402,16 +435,13 @@ def streaming_sweep(
             depths, ref_feat, src_feats, rel_projs, weights)
         return OnlineSoftmaxState.finalize(osm)
 
+    # batched-block path: the block axis rides through the regularizer as
+    # a conv batch dim (n-fold larger dispatches) and through ONE fused
+    # cost-kernel call per chunk — not nn.vmap, whose lax.cond lowering
+    # executes both kernel and fallback branches (docs/PERF.md)
     blocks = constrain(depths.reshape(n, D // n, H, W), "depth_shards")
-    VmapSweep = nn.vmap(
-        _ShardSweep,
-        in_axes=(0, None, None, None, None),
-        out_axes=0,
-        variable_axes={"params": None},
-        split_rngs={"params": False},
-    )
-    osm_blocks = VmapSweep(reg=reg, cost_mode=cost_mode, up=up,
-                           plane_chunk=plane_chunk, warp_impl=warp_impl)(
+    osm_blocks = _ShardSweep(reg=reg, cost_mode=cost_mode, up=up,
+                             plane_chunk=plane_chunk, warp_impl=warp_impl)(
         blocks, ref_feat, src_feats, rel_projs, weights)
     osm_blocks = tuple(constrain(s, "depth_shards") for s in osm_blocks)
     return OnlineSoftmaxState.finalize(

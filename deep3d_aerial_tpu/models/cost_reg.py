@@ -127,14 +127,22 @@ class NormGRUCell(nn.Module):
     @nn.compact
     def __call__(self, x, h):
         k = (3, 3)
+        # reduction over (H, W, C) regardless of leading batch/block dims:
+        # flax's default treats dim 0 as batch, which on an unbatched
+        # [H, W, C] map would normalize per ROW — explicit negative axes
+        # match the reference's per-sample GroupNorm (module.py:53-99) and
+        # keep batched-block and unbatched calls numerically identical
+        axes = (-3, -2, -1)
+        gn = lambda name: nn.GroupNorm(num_groups=1, dtype=self.dtype,
+                                       reduction_axes=axes, name=name)
         gates = nn.Conv(2 * self.hidden, k, padding="SAME", dtype=self.dtype,
                         name="gates")(jnp.concatenate([x, h], axis=-1))
         r, u = jnp.split(gates, 2, axis=-1)
-        r = nn.sigmoid(nn.GroupNorm(num_groups=1, dtype=self.dtype, name="rn")(r))
-        u = nn.sigmoid(nn.GroupNorm(num_groups=1, dtype=self.dtype, name="un")(u))
+        r = nn.sigmoid(gn("rn")(r))
+        u = nn.sigmoid(gn("un")(u))
         o = nn.Conv(self.hidden, k, padding="SAME", dtype=self.dtype,
                     name="cand")(jnp.concatenate([x, r * h], axis=-1))
-        o = jnp.tanh(nn.GroupNorm(num_groups=1, dtype=self.dtype, name="on")(o))
+        o = jnp.tanh(gn("on")(o))
         return u * h + (1.0 - u) * o
 
 
