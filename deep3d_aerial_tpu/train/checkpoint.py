@@ -74,7 +74,22 @@ def best_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 def restore_checkpoint(path: str) -> dict:
     ocp = _ocp()
-    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    try:
+        return ckptr.restore(path)
+    except ValueError:
+        # CPU-forced processes (multihost workers, ablation evals): orbax
+        # refuses device-array deserialization without concrete shardings —
+        # restore every leaf as a plain host numpy array instead
+        import jax
+
+        meta = ckptr.metadata(path)
+        tree = meta.item_metadata
+        tree = tree.tree if hasattr(tree, "tree") else tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=restore_args)
 
 
 def export_params_npz(params: Any, path: str) -> str:

@@ -131,8 +131,10 @@ def main():
     from scripts.train_synthetic import terrain_z
 
     model = os.environ.get("TS_MODEL", "adamvs")
-    ckpt_root = os.path.join(os.path.dirname(__file__), "..",
-                             "checkpoints", f"synthetic_{model}")
+    ckpt_root = os.environ.get(
+        "TS_CKPT_DIR",
+        os.path.join(os.path.dirname(__file__), "..",
+                     "checkpoints", f"synthetic_{model}"))
     from deep3d_aerial_tpu.train.checkpoint import best_checkpoint
 
     ckpt = best_checkpoint(os.path.abspath(ckpt_root))

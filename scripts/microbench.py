@@ -77,16 +77,26 @@ def main():
     def rnd(*shape, dt=None):
         return jnp.asarray(rng.standard_normal(shape), dt or dtype)
 
-    def rel_mats(n):
-        # plausible relative projections: identity-ish + jitter
-        base = np.eye(4)
-        out = []
-        for _ in range(n):
-            m = base.copy()
-            m[:3, :3] += rng.normal(0, 0.01, (3, 3))
-            m[0, 3] = rng.normal(0, 5)
-            out.append(m)
-        return jnp.asarray(np.stack(out), jnp.float32)
+    # TRUE aerial-geometry relative projections (same construction as
+    # __graft_entry__._example_inputs / bench.py): random-rotation-jitter
+    # matrices are NOT rotations — their footprints blow past the pallas
+    # kernel windows, so isolated sweeps silently fell back to the gather
+    # path and reported gather-path times (round-2 microbench bug)
+    from deep3d_aerial_tpu.geometry.camera import (Pose, proj_matrix,
+                                                   stage_relative_projections)
+
+    K_cam = np.array([[150.0, 0, W / 2], [0, 150.0, H / 2], [0, 0, 1.0]])
+    rng_g = np.random.default_rng(1)
+    projs = []
+    for _v in range(V):
+        R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+        center = np.array([rng_g.uniform(-8, 8), rng_g.uniform(-8, 8), 100.0])
+        projs.append(proj_matrix(K_cam, Pose(R_down, -R_down @ center)))
+    REL = stage_relative_projections(np.stack(projs), 3)  # [3, V-1, 4, 4]
+
+    def rel_mats(stage):
+        """[V-1, 4, 4] source-vs-ref mats at stage resolution (1: /4 ...)."""
+        return jnp.asarray(REL[stage - 1], jnp.float32)
 
     results = {}
     want = set(sys.argv[1:])
@@ -125,7 +135,7 @@ def main():
         params = jax.jit(reg.init)(key, vol0)
         src = rnd(4, h, w, c)
         ref = rnd(h, w, c)
-        rels = rel_mats(4)
+        rels = rel_mats(1)
         depths = jnp.linspace(80.0, 120.0, d)
 
         @jax.jit
@@ -151,7 +161,7 @@ def main():
 
         def make():
             src = rnd(4, h, w, c)
-            rels = rel_mats(4)
+            rels = rel_mats(stage)
             depths = jnp.linspace(80.0, 120.0, d)
 
             @jax.jit
@@ -186,7 +196,7 @@ def main():
             reg = RedStep2(up=up, dtype=dtype)
             ref = rnd(h, w, c)
             src = rnd(4, h, w, c)
-            rels = rel_mats(4)
+            rels = rel_mats(stage)
             weights = jnp.ones((4, h, w), jnp.float32)
             depths = jnp.linspace(80.0, 120.0, d)
 
