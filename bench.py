@@ -59,6 +59,11 @@ def main():
         # A/B knobs: planes per scan chunk, blocked-recurrence depth shards
         extra["plane_chunk"] = int(os.environ.get("BENCH_CHUNK", "8"))
         extra["depth_shards"] = int(os.environ.get("BENCH_SHARDS", "1"))
+    if model_name == "adamvs":
+        # fused RedStep2 regularizer kernel (ops/pallas_red); follows the
+        # warp impl by default
+        extra["red_impl"] = os.environ.get(
+            "BENCH_RED", "pallas" if warp_impl == "pallas" else "flax")
     model = build_model(model_name, ndepths=(48, 32, 8), num_depth=384,
                         dtype=dtype, warp_impl=warp_impl, **extra)
     imgs, rel = _example_inputs(V=V, H=H, W=W)

@@ -119,6 +119,10 @@ class AdaMVS(nn.Module):
     # 'xla' (gather build, exact oracle) | 'pallas' (fused MXU sweep
     # kernel, ops/pallas_sweep; lax.cond fallback on window overflow)
     warp_impl: str = "xla"
+    # 'flax' | 'pallas': recurrent regularizer implementation — 'pallas'
+    # fuses the whole RedStep2 into one Mosaic program per plane
+    # (ops/pallas_red) with per-stage shape gating + flax fallback
+    red_impl: str = "flax"
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -178,7 +182,8 @@ class AdaMVS(nn.Module):
                     self.depth_interval_ratios[s] * interval,
                 )
             weights = jax.vmap(lambda w: resize_bilinear(w, (H, W)))(view_weights)
-            reg = RedStep2(up=up, dtype=self.dtype, name=f"red{s}")
+            reg = RedStep2(up=up, dtype=self.dtype, impl=self.red_impl,
+                           name=f"red{s}")
             depth, conf = streaming_sweep(
                 reg=reg, cost_mode="correlation", up=up,
                 depths=depths,

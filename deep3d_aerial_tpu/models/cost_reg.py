@@ -81,16 +81,34 @@ class CostRegNet2D(nn.Module):
 class RedStep2(nn.Module):
     """One recurrent-regularization step (2-level GRU), AdaMVS flavor.
 
-    cost [H, W, C_in], states (s1 [H,W,8], s2 [H/2,W/2,16])
-    -> score map [2H, 2W] if `up` else [H, W], new states.
+    impl='flax' (default): cost [H, W, C_in], states HWC
+    (s1 [H,W,8], s2 [H/2,W/2,16]) -> score [2H,2W] if `up` else [H,W],
+    new states.
+
+    impl='pallas' runs the fused Mosaic kernel (ops/pallas_red): the whole
+    step is ONE VMEM-resident program per plane instead of ~10 lane-padded
+    XLA convs, and the state layout becomes CHANNEL-FIRST (s1 [8,H,W],
+    s2 [16,H/2,W/2]) so consecutive planes chain with zero relayouts. The
+    param tree is identical to impl='flax' — checkpoints interchangeable —
+    and gradients flow through the kernel's custom VJP (the flax backward).
+    Falls back to the flax body (with state transposes) while initializing,
+    off-TPU, on unsupported shapes (pallas_red.red_step2_ok), or when a
+    leading depth-block axis is present at non-kernel shapes.
     """
 
     up: bool = True
     base: int = 8
     dtype: Any = jnp.float32
+    impl: str = "flax"        # 'flax' | 'pallas'
+    interpret: bool = False   # pallas interpret mode (CPU tests only)
 
     @nn.compact
     def __call__(self, cost, s1, s2):
+        if self.impl == "pallas":
+            return self._pallas_path(cost, s1, s2)
+        return self._flax_body(cost, s1, s2)
+
+    def _flax_body(self, cost, s1, s2):
         b, dt = self.base, self.dtype
         x1 = ConvBlock(b, norm="none", dtype=dt, name="conv1")(cost)
         r1 = ConvGRUCell(b, dtype=dt, name="gru1")(x1, s1)
@@ -106,8 +124,50 @@ class RedStep2(nn.Module):
             score = nn.Conv(1, (3, 3), padding="SAME", dtype=dt, name="out2d")(fused)
         return score[..., 0], r1, r2
 
+    def _pallas_path(self, cost, s1, s2):
+        import jax
+
+        from ..ops.pallas_red import red_step2_fused, red_step2_ok
+
+        Hs, Ws = s1.shape[-2:]
+        usable = (
+            not self.is_initializing()
+            and self.base == 8
+            and red_step2_ok(Hs, Ws)
+            and (jax.default_backend() != "cpu" or self.interpret)
+        )
+        if usable:
+            params = self.variables["params"]
+            precision = ("bf16" if jnp.dtype(self.dtype) == jnp.bfloat16
+                         else "f32x3")
+            kw = dict(up=self.up, dtype=self.dtype, precision=precision,
+                      interpret=self.interpret)
+            if s1.ndim == 4:
+                # leading depth-block axis: unrolled kernel calls (the
+                # kernel is per-image; n is a small static block count)
+                outs = [red_step2_fused(params, cost[i], s1[i], s2[i], **kw)
+                        for i in range(s1.shape[0])]
+                return tuple(jnp.stack([o[j] for o in outs])
+                             for j in range(3))
+            return red_step2_fused(params, cost, s1, s2, **kw)
+
+        # fallback: flax body on HWC layouts
+        if s1.ndim == 4:
+            perm_in, perm_out = (0, 2, 3, 1), (0, 3, 1, 2)
+        else:
+            perm_in, perm_out = (1, 2, 0), (2, 0, 1)
+        score, r1, r2 = self._flax_body(
+            cost, jnp.transpose(s1, perm_in), jnp.transpose(s2, perm_in))
+        return (score, jnp.transpose(r1, perm_out),
+                jnp.transpose(r2, perm_out))
+
     def init_states(self, H: int, W: int):
         b = self.base
+        if self.impl == "pallas":
+            return (
+                jnp.zeros((b, H, W), self.dtype),
+                jnp.zeros((2 * b, H // 2, W // 2), self.dtype),
+            )
         return (
             jnp.zeros((H, W, b), self.dtype),
             jnp.zeros((H // 2, W // 2, 2 * b), self.dtype),

@@ -1,0 +1,187 @@
+"""Parity tests for the fused RedStep2 recurrent-regularizer kernel
+(ops/pallas_red) against the flax oracle (models/cost_reg.RedStep2).
+
+Runs in interpret mode on CPU; the real-Mosaic compile + perf check
+happens on the chip (scripts/microbench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import flatten_util
+
+from deep3d_aerial_tpu.models.cost_reg import RedStep2
+from deep3d_aerial_tpu.ops.pallas_red import (
+    red_step2_fused,
+    red_step2_ok,
+    red_step2_reference,
+)
+
+H, W = 32, 128
+
+
+def make_case(rng, Cin, up, dtype=jnp.float32):
+    mod = RedStep2(up=up, dtype=dtype)
+    cost = jnp.asarray(rng.standard_normal((H, W, Cin)), jnp.float32)
+    s1h, s2h = mod.init_states(H, W)
+    params = mod.init(jax.random.PRNGKey(0), cost, s1h, s2h)["params"]
+    s1 = jnp.asarray(rng.standard_normal((8, H, W)), jnp.float32) * 0.5
+    s2 = jnp.asarray(rng.standard_normal((16, H // 2, W // 2)),
+                     jnp.float32) * 0.5
+    return params, cost, s1, s2
+
+
+@pytest.mark.parametrize("Cin,up", [(8, False), (16, True), (32, True)])
+def test_red_step2_matches_flax(rng, Cin, up):
+    params, cost, s1, s2 = make_case(rng, Cin, up)
+    score, s1n, s2n = red_step2_fused(
+        params, cost, s1, s2, up=up, precision="f32x3", interpret=True)
+    score_r, s1n_r, s2n_r = red_step2_reference(
+        params, cost, s1, s2, up=up, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s1n), np.asarray(s1n_r),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2n), np.asarray(s2n_r),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_r),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_red_step2_chained_planes(rng):
+    """States chained across planes stay in parity (the real call pattern)."""
+    params, cost, s1, s2 = make_case(rng, 8, True)
+    costs = [jnp.asarray(rng.standard_normal((H, W, 8)), jnp.float32)
+             for _ in range(3)]
+    f1, f2 = s1, s2
+    r1, r2 = s1, s2
+    for c in costs:
+        sf, f1, f2 = red_step2_fused(params, c, f1, f2, up=True,
+                                     precision="f32x3", interpret=True)
+        sr, r1, r2 = red_step2_reference(params, c, r1, r2, up=True,
+                                         dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(r1),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(r2),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sr),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_red_step2_grads_flow(rng):
+    """The custom VJP (flax backward) produces the flax gradients."""
+    params, cost, s1, s2 = make_case(rng, 8, False)
+
+    def loss_fused(p, c):
+        sc, a, b = red_step2_fused(p, c, s1, s2, up=False,
+                                   precision="f32x3", interpret=True)
+        return jnp.sum(sc ** 2) + jnp.sum(a) + jnp.sum(b)
+
+    def loss_ref(p, c):
+        sc, a, b = red_step2_reference(p, c, s1, s2, up=False,
+                                       dtype=jnp.float32)
+        return jnp.sum(sc ** 2) + jnp.sum(a) + jnp.sum(b)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(params, cost)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, cost)
+    flat_f, _ = flatten_util.ravel_pytree(gf)
+    flat_r, _ = flatten_util.ravel_pytree(gr)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_red_step2_multi_strip(rng):
+    """n=2 strip grids exercise the edge-strip DMA paths (i==0 / i==n-1
+    offsets + halo zero-fill) that single-strip tests never touch."""
+    from deep3d_aerial_tpu.ops.pallas_red import _pick_strip
+
+    Hm, Wm, Cin = 128, 256, 8
+    assert Hm // _pick_strip(Hm, Wm, Cin) == 2  # really multi-strip
+    mod = RedStep2(up=False, dtype=jnp.float32)
+    cost = jnp.asarray(rng.standard_normal((Hm, Wm, Cin)), jnp.float32)
+    s1h, s2h = mod.init_states(Hm, Wm)
+    params = mod.init(jax.random.PRNGKey(0), cost, s1h, s2h)["params"]
+    s1 = jnp.asarray(rng.standard_normal((8, Hm, Wm)), jnp.float32) * 0.5
+    s2 = jnp.asarray(rng.standard_normal((16, Hm // 2, Wm // 2)),
+                     jnp.float32) * 0.5
+    score, s1n, s2n = red_step2_fused(
+        params, cost, s1, s2, up=False, precision="f32x3", interpret=True)
+    score_r, s1n_r, s2n_r = red_step2_reference(
+        params, cost, s1, s2, up=False, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s1n), np.asarray(s1n_r),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2n), np.asarray(s2n_r),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_red_step2_module_pallas_interpret(rng):
+    """RedStep2(impl='pallas') pulls its own params from the module scope
+    and routes through the fused kernel (interpret mode), matching the
+    flax module with the SAME param tree (checkpoints interchangeable)."""
+    Hm, Wm, Cin = 16, 256, 8
+    flax_mod = RedStep2(up=True, dtype=jnp.float32)
+    pall_mod = RedStep2(up=True, dtype=jnp.float32, impl="pallas",
+                        interpret=True)
+    cost = jnp.asarray(rng.standard_normal((Hm, Wm, Cin)), jnp.float32)
+    s1h, s2h = flax_mod.init_states(Hm, Wm)
+    params = flax_mod.init(jax.random.PRNGKey(0), cost, s1h, s2h)["params"]
+    # identical param tree from the pallas-impl module's own init
+    s1c, s2c = pall_mod.init_states(Hm, Wm)
+    params_p = pall_mod.init(jax.random.PRNGKey(0), cost, s1c, s2c)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_p))
+
+    s1 = jnp.asarray(rng.standard_normal((8, Hm, Wm)), jnp.float32) * 0.5
+    s2 = jnp.asarray(rng.standard_normal((16, Hm // 2, Wm // 2)),
+                     jnp.float32) * 0.5
+    sc_p, a_p, b_p = pall_mod.apply({"params": params}, cost, s1, s2)
+    sc_f, a_f, b_f = flax_mod.apply(
+        {"params": params}, cost,
+        jnp.transpose(s1, (1, 2, 0)), jnp.transpose(s2, (1, 2, 0)))
+    np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_f),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a_p),
+                               np.asarray(jnp.transpose(a_f, (2, 0, 1))),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b_p),
+                               np.asarray(jnp.transpose(b_f, (2, 0, 1))),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_adamvs_red_impl_fallback_parity(rng):
+    """AdaMVS(red_impl='pallas') on CPU (kernel inapplicable -> flax
+    fallback with channel-first states) matches red_impl='flax' with the
+    same params, including under blocked depth sharding."""
+    from tests.test_models import make_inputs
+
+    imgs, projs = make_inputs(rng)
+    from deep3d_aerial_tpu.models import build_model
+
+    kwargs = dict(ndepths=(16, 8, 8), num_depth=64)
+    params = build_model("adamvs", **kwargs).init(
+        jax.random.PRNGKey(0), imgs, projs, 80.0, 120.0)
+
+    for shards in (1, 2):
+        # blocked recurrence differs across shard counts by design, so
+        # compare at MATCHED depth_shards
+        m_f = build_model("adamvs", depth_shards=shards, **kwargs)
+        out_f = m_f.apply(params, imgs, projs, 80.0, 120.0)
+        m_p = build_model("adamvs", red_impl="pallas", depth_shards=shards,
+                          **kwargs)
+        out_p = m_p.apply(params, imgs, projs, 80.0, 120.0)
+        np.testing.assert_allclose(
+            np.asarray(out_p["depth"]), np.asarray(out_f["depth"]),
+            atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out_p["photometric_confidence"]),
+            np.asarray(out_f["photometric_confidence"]),
+            atol=1e-4, rtol=1e-4)
+
+
+def test_red_step2_ok_gating():
+    assert red_step2_ok(384, 512)
+    assert red_step2_ok(192, 256)
+    assert not red_step2_ok(96, 128)   # W % 256 (half-res lane tiling)
+    assert not red_step2_ok(33, 256)   # H % 16
+    assert not red_step2_ok(32, 100)   # W % 256
