@@ -10,6 +10,7 @@ photo-consistency refinement (OpenMVS's core) is the planned C++ upgrade.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import numpy as np
@@ -147,24 +148,58 @@ def photometric_refine(
     import jax.numpy as jnp
 
     v0 = np.asarray(vertices, np.float32)
-    n = len(v0)
-    if n == 0 or len(faces) == 0 or not views:
+    n_real = len(v0)
+    if n_real == 0 or len(faces) == 0 or not views:
         return v0
     views = views[: cfg.max_views]
 
-    nbr, off = vertex_adjacency(n, faces)
-    deg = np.maximum(np.diff(off), 1).astype(np.float32)
+    def _bucket(k):
+        """Next 1.5x-geometric, 64-aligned size so meshes of similar size
+        REUSE the jit graph — per-mesh recompiles dominated wall time on
+        multi-block scenes (a fresh dense graph per mesh; <=50% padding)."""
+        b = 64
+        while b < k:
+            b = (b * 3 // 2 + 63) // 64 * 64
+        return b
+
+    nbr, off = vertex_adjacency(n_real, faces)
+    deg_real = np.maximum(np.diff(off), 1).astype(np.float32)
+    rows_real = np.repeat(np.arange(n_real, dtype=np.int32), np.diff(off))
+
+    # pad vertices / edges / faces to bucketed shapes; padded entries are
+    # inert: pad verts sit at vertex 0's position but are masked out of
+    # the photo mean (active), carry no edges (connected=0 kills their
+    # Laplacian), and padded faces are degenerate (0,0,0) -> zero normals
+    n = _bucket(n_real)
+    e = _bucket(len(rows_real))
+    f = _bucket(len(faces))
+    v0 = np.concatenate([v0, np.repeat(v0[:1], n - n_real, 0)], 0)
+    active = np.zeros((n,), np.float32)
+    active[:n_real] = 1.0
     # CSR edge list for a segment-sum Laplacian: O(E) memory (a dense
     # [N, max_deg] table blows up on hub vertices at production block
-    # sizes — 1M+ vertex meshes refine fine through this path)
-    rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(off))
-    nbr_j = jnp.asarray(nbr.astype(np.int32))
-    rows_j = jnp.asarray(rows)
+    # sizes — 1M+ vertex meshes refine fine through this path); padding
+    # edges point pad->pad so no real vertex accumulates them
+    nbr_p = np.full((e,), n - 1, np.int32)
+    nbr_p[: len(rows_real)] = nbr.astype(np.int32)
+    rows_p = np.full((e,), n - 1, np.int32)
+    rows_p[: len(rows_real)] = rows_real
+    deg = np.ones((n,), np.float32)
+    deg[:n_real] = deg_real
+    conn = np.zeros((n, 1), np.float32)
+    conn[:n_real, 0] = (np.diff(off) > 0).astype(np.float32)
+    faces_pad = np.zeros((f, 3), faces.dtype)
+    faces_pad[: len(faces)] = faces
+
+    nbr_j = jnp.asarray(nbr_p)
+    rows_j = jnp.asarray(rows_p)
     degj = jnp.asarray(deg)
-    connected = jnp.asarray((np.diff(off) > 0)[:, None].astype(np.float32))
+    connected = jnp.asarray(conn)
+    activej = jnp.asarray(active)
 
     edge = v0[faces[:, 0]] - v0[faces[:, 1]]
     mean_edge = float(np.linalg.norm(edge, axis=1).mean() + 1e-9)
+    faces = faces_pad
 
     Ks = jnp.asarray(np.stack([np.asarray(k, np.float32)
                                for _, k, _ in views]))
@@ -176,6 +211,38 @@ def photometric_refine(
     Hh, Ww = imgs.shape[1:]
 
     faces_j = jnp.asarray(faces)
+    consts = (faces_j, nbr_j, rows_j, degj, connected, activej, Ks, Ts,
+              imgs, jnp.float32(n_real), jnp.float32(cfg.regularity_weight))
+
+    v = jnp.asarray(v0)
+    for s in range(cfg.scales):
+        step = cfg.gradient_step * mean_edge * (0.5 ** s)
+        for _ in range(cfg.iterations):
+            v = _refine_update(v, jnp.float32(step), *consts)
+    return np.asarray(v, np.float32)[:n_real]
+
+
+@functools.cache
+def _refine_update_jit():
+    import jax
+
+    return jax.jit(_refine_update_impl)
+
+
+def _refine_update(*args):
+    return _refine_update_jit()(*args)
+
+
+def _refine_update_impl(v, step, faces_j, nbr_j, rows_j, degj, connected,
+                        activej, Ks, Ts, imgs, n_real_f, reg_w):
+    """One photometric-refine gradient step. Module-level + jit so meshes
+    that share a shape BUCKET reuse the compiled graph (per-mesh
+    recompiles dominated multi-block wall time)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = v.shape[0]
+    Hh, Ww = imgs.shape[1:]
 
     def vertex_normals(v):
         e1 = v[faces_j[:, 1]] - v[faces_j[:, 0]]
@@ -220,24 +287,17 @@ def photometric_refine(
         cnt = jnp.maximum(w.sum(0), 1.0)
         mean = (cols * w).sum(0) / cnt
         var = ((cols - mean) ** 2 * w).sum(0) / cnt
-        photo = jnp.where(w.sum(0) >= 2, var, 0.0).mean()
+        # masked means: padded vertices must not dilute either term
+        photo = (jnp.where(w.sum(0) >= 2, var, 0.0) * activej).sum() / n_real_f
         nbr_sum = jax.ops.segment_sum(v[nbr_j], rows_j, num_segments=n)
         lap = (nbr_sum / degj[:, None] - v) * connected
-        reg = (lap ** 2).sum(-1).mean()
-        return photo + cfg.regularity_weight * reg
+        reg = ((lap ** 2).sum(-1) * activej).sum() / n_real_f
+        return photo + reg_w * reg
 
-    grad_fn = jax.jit(jax.grad(energy))
-    norm_fn = jax.jit(vertex_normals)
-
-    v = jnp.asarray(v0)
-    for s in range(cfg.scales):
-        step = cfg.gradient_step * mean_edge * (0.5 ** s)
-        for _ in range(cfg.iterations):
-            g = grad_fn(v)
-            nrm = norm_fn(v)
-            # move along the normal only (tangential drift destroys the
-            # parameterization — same constraint OpenMVS applies)
-            gn = jnp.sum(g * nrm, axis=1, keepdims=True)
-            gnorm = jnp.maximum(jnp.abs(gn).max(), 1e-12)
-            v = v - step * (gn / gnorm) * nrm
-    return np.asarray(v, np.float32)
+    g = jax.grad(energy)(v)
+    nrm = vertex_normals(v)
+    # move along the normal only (tangential drift destroys the
+    # parameterization — same constraint OpenMVS applies)
+    gn = jnp.sum(g * nrm, axis=1, keepdims=True)
+    gnorm = jnp.maximum(jnp.abs(gn).max(), 1e-12)
+    return v - step * (gn / gnorm) * nrm

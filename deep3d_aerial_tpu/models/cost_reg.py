@@ -129,11 +129,12 @@ class RedStep2(nn.Module):
 
         from ..ops.pallas_red import red_step2_fused, red_step2_ok
 
-        Hs, Ws = s1.shape[-2:]
+        Hs = s1.shape[-2]
+        Wimg = cost.shape[-2]
         usable = (
             not self.is_initializing()
             and self.base == 8
-            and red_step2_ok(Hs, Ws)
+            and red_step2_ok(Hs, Wimg)
             and (jax.default_backend() != "cpu" or self.interpret)
         )
         if usable:
@@ -151,22 +152,35 @@ class RedStep2(nn.Module):
                              for j in range(3))
             return red_step2_fused(params, cost, s1, s2, **kw)
 
-        # fallback: flax body on HWC layouts
+        # fallback: flax body on HWC layouts (crop the lane padding,
+        # compute, zero-pad back — pad cols stay zero by construction)
+        Wpad = s1.shape[-1]
         if s1.ndim == 4:
             perm_in, perm_out = (0, 2, 3, 1), (0, 3, 1, 2)
         else:
             perm_in, perm_out = (1, 2, 0), (2, 0, 1)
         score, r1, r2 = self._flax_body(
-            cost, jnp.transpose(s1, perm_in), jnp.transpose(s2, perm_in))
-        return (score, jnp.transpose(r1, perm_out),
-                jnp.transpose(r2, perm_out))
+            cost,
+            jnp.transpose(s1[..., :Wimg], perm_in),
+            jnp.transpose(s2[..., : Wimg // 2], perm_in),
+        )
+        r1 = jnp.transpose(r1, perm_out)
+        r2 = jnp.transpose(r2, perm_out)
+        if Wpad > Wimg:
+            pad = [(0, 0)] * (r1.ndim - 1)
+            r1 = jnp.pad(r1, pad + [(0, Wpad - Wimg)])
+            r2 = jnp.pad(r2, pad + [(0, (Wpad - Wimg) // 2)])
+        return score, r1, r2
 
     def init_states(self, H: int, W: int):
         b = self.base
         if self.impl == "pallas":
+            from ..ops.pallas_red import pad_width
+
+            Wp = pad_width(W)
             return (
-                jnp.zeros((b, H, W), self.dtype),
-                jnp.zeros((2 * b, H // 2, W // 2), self.dtype),
+                jnp.zeros((b, H, Wp), self.dtype),
+                jnp.zeros((2 * b, H // 2, Wp // 2), self.dtype),
             )
         return (
             jnp.zeros((H, W, b), self.dtype),

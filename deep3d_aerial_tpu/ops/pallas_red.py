@@ -234,10 +234,16 @@ def _red_kernel(
     SelE, SelO, SelET, SelOT,
     # outputs (+ optional debug tap), then scratch
     score_out, s1n_out, s2n_out, *rest,
-    Cin: int, H: int, W: int, T: int, up: bool, precision: str,
+    Cin: int, H: int, W: int, Wimg: int, T: int, up: bool, precision: str,
     tap: str | None = None,
 ):
-    """One RedStep2 application over one strip of T output rows."""
+    """One RedStep2 application over one strip of T output rows.
+
+    W is the (lane-aligned, % 256) buffer width; Wimg <= W is the logical
+    image width. Columns >= Wimg are kept ZERO after every pass — exactly
+    the SAME zero padding flax applies at the image's right edge — so a
+    128-wide stage-1 image runs in 256-wide buffers with identical
+    results (wrapper crops the score)."""
     if tap is not None:
         dbg_out, rest = rest[0], rest[1:]
     (cost_s, s1_s, s2_s, x1_s, rg_s, u_s, rs1_s, r1_s, r1e_s, r1o_s,
@@ -293,15 +299,19 @@ def _red_kernel(
     dma_in(s1_hbm, s1_s, HF, T)
     dma_in(s2_hbm, s2_s, HH, T2)
 
-    def zero_oob(buf, halo, TT, Himg):
-        """Zero buffer rows whose logical image row falls outside [0, Himg).
+    def zero_oob(buf, halo, TT, Himg, Wb=None):
+        """Zero buffer rows whose logical image row falls outside [0, Himg)
+        and (when Wb < lane width) columns >= Wb.
 
         Every conv in the chain assumes SAME zero padding at the *image*
-        boundary; intermediates computed on out-of-image halo rows are
+        boundary; intermediates computed on out-of-image halo rows/cols are
         relu(bias)-style garbage that must not leak into the next conv."""
         j = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1)
         logical = i * TT - halo + (j - G)
         ok = jnp.logical_and(logical >= 0, logical < Himg)
+        if Wb is not None and Wb < buf.shape[2]:
+            c = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 2)
+            ok = jnp.logical_and(ok, c < Wb)
         buf[...] = jnp.where(ok, buf[...], 0.0).astype(buf.dtype)
 
     def band(buf, r0, B, C):
@@ -326,7 +336,7 @@ def _red_kernel(
         X9 = _im2col9(dy_pieces([(cost_s, Cin)], r0, BF), W)
         o = _mm(Lc1, X9, precision) + bc1[...]
         store(x1_s, r0, BF, 8, jnp.maximum(o, 0.0), W)
-    zero_oob(x1_s, HF, T, H)
+    zero_oob(x1_s, HF, T, H, Wimg)
 
     # ---- pass 2: gru1 gates -> rg, u, rs1 = rg * s1 ----------------------
     for r0 in range(0, R, BF):
@@ -346,7 +356,7 @@ def _red_kernel(
         uu = band(u_s, r0, BF, 8).reshape(8 * BF, W)
         s1b = band(s1_s, r0, BF, 8).reshape(8 * BF, W)
         store(r1_s, r0, BF, 8, uu * s1b + (1.0 - uu) * c, W)
-    zero_oob(r1_s, HF, T, H)
+    zero_oob(r1_s, HF, T, H, Wimg)
 
     # new s1 state: r1 at the strip's output rows
     s1n_out[...] = r1_s[:, G + HF:G + HF + T, :].astype(s1n_out.dtype)
@@ -372,7 +382,7 @@ def _red_kernel(
         X9 = jnp.concatenate(pieces, axis=0)  # [(b, a, ci, q), W2]
         o = _mm(Lc2, X9, precision) + bc2[...]
         store(x2_s, q0, BH, 16, jnp.maximum(o, 0.0), W2)
-    zero_oob(x2_s, HH, T2, H2)
+    zero_oob(x2_s, HH, T2, H2, Wimg // 2)
 
     # ---- pass 6: gru2 gates ----------------------------------------------
     for q0 in range(0, R2, BH):
@@ -392,7 +402,7 @@ def _red_kernel(
         uu = band(u2_s, q0, BH, 16).reshape(16 * BH, W2)
         s2b = band(s2_s, q0, BH, 16).reshape(16 * BH, W2)
         store(r2_s, q0, BH, 16, uu * s2b + (1.0 - uu) * c, W2)
-    zero_oob(r2_s, HH, T2, H2)
+    zero_oob(r2_s, HH, T2, H2, Wimg // 2)
 
     s2n_out[...] = r2_s[:, G + HH:G + HH + T2, :].astype(s2n_out.dtype)
 
@@ -421,7 +431,7 @@ def _red_kernel(
                 fused_s[:, row + G:row + G + 1, :] = jnp.maximum(
                     full[:, q:q + 1, :] + r1r, 0.0).astype(fused_s.dtype)
 
-    zero_oob(fused_s, HF, T, H)
+    zero_oob(fused_s, HF, T, H, Wimg)
 
     # ---- pass 9: score head ----------------------------------------------
     if up:
@@ -467,9 +477,10 @@ def red_step2_debug_tap(name, params, cost, s1, s2, *, up, dtype=jnp.float32,
     tooling, not a production path. Returns (score, s1n, s2n,
     tapped [n_strips, C, rows, W*]); tapped slot k holds logical strip row
     k - G (see the kernel's buffer layout)."""
-    H, W, Cin = cost.shape
-    T = _pick_strip(H, W, Cin)
-    cfg = (Cin, H, W, bool(up), T, precision, bool(interpret),
+    H, Wimg, Cin = cost.shape
+    Wpad = pad_width(Wimg)
+    T = _pick_strip(H, Wpad, Cin)
+    cfg = (Cin, H, Wpad, Wimg, bool(up), T, precision, bool(interpret),
            jnp.dtype(dtype).name, name)
     return _forward(cfg, params, cost, s1, s2)
 
@@ -495,23 +506,33 @@ def _pick_strip(H: int, W: int, Cin: int) -> int:
     return best
 
 
-def red_step2_ok(H: int, W: int) -> bool:
-    """Kernel applicability (shape + backend).
+def pad_width(Wimg: int) -> int:
+    """Buffer width for a logical image width: next multiple of 256 (the
+    half-res buffers are W/2 lanes wide and real Mosaic requires lane-dim
+    memref slices aligned to the 128 tiling — a 64-lane half-width
+    compiles in interpret mode but fails on-chip)."""
+    return -(-Wimg // 256) * 256
 
-    W % 256: the half-res buffers are W/2 lanes wide and real Mosaic
-    requires lane-dim memref slices aligned to the 128 tiling (a 64-lane
-    half-width compiles in interpret mode but fails on-chip)."""
-    if W % 256 or H % 16:
+
+def red_step2_ok(H: int, W: int) -> bool:
+    """Kernel applicability for a logical image [H, W]: narrower images
+    run in lane-padded buffers (pad_width) with in-kernel column masking
+    that reproduces flax's SAME zero padding exactly."""
+    if W % 8 or H % 16:
         return False
-    if _pick_strip(H, W, 8) == 0:
+    if _pick_strip(H, pad_width(W), 8) == 0:
         return False
     return True
 
 
 def _forward(cfg, params, cost, s1, s2):
-    """cfg = (Cin, H, W, up, T, precision, interpret, dtype_name[, tap])."""
-    Cin, H, W, up, T, precision, interpret, dtype_name = cfg[:8]
-    tap = cfg[8] if len(cfg) > 8 else None
+    """cfg = (Cin, H, W, Wimg, up, T, precision, interpret, dtype[, tap]).
+
+    W is the lane-padded buffer width; cost arrives at the logical Wimg
+    and is padded here; states live padded (the kernel keeps their pad
+    columns zero); score is cropped back to Wimg."""
+    Cin, H, W, Wimg, up, T, precision, interpret, dtype_name = cfg[:9]
+    tap = cfg[9] if len(cfg) > 9 else None
     dtype = jnp.dtype(dtype_name)
     T2 = T // 2
     H2, W2 = H // 2, W // 2
@@ -519,11 +540,13 @@ def _forward(cfg, params, cost, s1, s2):
     R, R2 = T + 2 * HF, T2 + 2 * HH
 
     packed = pack_redstep_params(params, Cin, up, W, dtype)
-    cost_t = jnp.transpose(cost, (2, 0, 1)).astype(dtype)  # [Cin, H, W]
+    cost_t = jnp.transpose(cost, (2, 0, 1)).astype(dtype)  # [Cin, H, Wimg]
+    if Wimg < W:
+        cost_t = jnp.pad(cost_t, ((0, 0), (0, 0), (0, W - Wimg)))
 
     kernel = functools.partial(
-        _red_kernel, Cin=Cin, H=H, W=W, T=T, up=up, precision=precision,
-        tap=tap)
+        _red_kernel, Cin=Cin, H=H, W=W, Wimg=Wimg, T=T, up=up,
+        precision=precision, tap=tap)
 
     score_shape = ((2, 2, H, W) if up else (H, W))
     score_block = ((2, 2, T, W) if up else (T, W))
@@ -587,6 +610,9 @@ def _forward(cfg, params, cost, s1, s2):
     if up:
         # [py, px, p, w] -> [2H, 2W]
         score = jnp.transpose(score, (2, 0, 3, 1)).reshape(2 * H, 2 * W)
+        score = score[:, : 2 * Wimg]
+    else:
+        score = score[:, :Wimg]
     if tap is not None:
         return score, s1n, s2n, outs[3]
     return score, s1n, s2n
@@ -594,23 +620,31 @@ def _forward(cfg, params, cost, s1, s2):
 
 def red_step2_reference(params, cost, s1, s2, *, up: bool, dtype):
     """The mathematically identical flax path on the fused calling
-    convention (channel-first states) — the custom-VJP backward and the
-    parity oracle."""
+    convention (channel-first, possibly lane-padded states) — the
+    custom-VJP backward and the parity oracle. Crops states to the cost's
+    logical width, runs flax, zero-pads the new states back (crop/pad are
+    linear, so the VJP through this matches the kernel's convention)."""
     from ..models.cost_reg import RedStep2
 
+    Wimg = cost.shape[1]
+    Wpad = s1.shape[-1]
     mod = RedStep2(up=up, dtype=dtype)
-    s1_hwc = jnp.transpose(s1, (1, 2, 0)).astype(dtype)
-    s2_hwc = jnp.transpose(s2, (1, 2, 0)).astype(dtype)
+    s1_hwc = jnp.transpose(s1[..., :Wimg], (1, 2, 0)).astype(dtype)
+    s2_hwc = jnp.transpose(s2[..., : Wimg // 2], (1, 2, 0)).astype(dtype)
     score, r1, r2 = mod.apply({"params": params}, cost.astype(dtype),
                               s1_hwc, s2_hwc)
-    return (score, jnp.transpose(r1, (2, 0, 1)),
-            jnp.transpose(r2, (2, 0, 1)))
+    r1 = jnp.transpose(r1, (2, 0, 1))
+    r2 = jnp.transpose(r2, (2, 0, 1))
+    if Wpad > Wimg:
+        r1 = jnp.pad(r1, ((0, 0), (0, 0), (0, Wpad - Wimg)))
+        r2 = jnp.pad(r2, ((0, 0), (0, 0), (0, (Wpad - Wimg) // 2)))
+    return score, r1, r2
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_fn(cfg):
-    dtype = jnp.dtype(cfg[-1])
-    up = cfg[3]
+    dtype = jnp.dtype(cfg[8])
+    up = cfg[4]
 
     @jax.custom_vjp
     def f(params, cost, s1, s2):
@@ -643,10 +677,17 @@ def red_step2_fused(
     (cost_reg.RedStep2) with MXU-feeding precision per `precision`
     ('bf16' mirrors the bf16 model; 'f32x3' is f32-exact; 'f32' is the
     raw one-pass mode). Gradients flow through the flax VJP.
+
+    When W is not a multiple of 256 the STATES must arrive lane-padded to
+    pad_width(W) (the kernel keeps their pad columns zero, matching
+    flax's SAME zero padding); cost stays at the logical width and the
+    score is returned cropped.
     """
-    H, W, Cin = cost.shape
-    T = _pick_strip(H, W, Cin)
-    assert T > 0, (H, W)
-    cfg = (Cin, H, W, bool(up), T, precision, bool(interpret),
+    H, Wimg, Cin = cost.shape
+    Wpad = pad_width(Wimg)
+    assert s1.shape[-1] == Wpad, (s1.shape, Wimg, Wpad)
+    T = _pick_strip(H, Wpad, Cin)
+    assert T > 0, (H, Wpad)
+    cfg = (Cin, H, Wpad, Wimg, bool(up), T, precision, bool(interpret),
            jnp.dtype(dtype).name)
     return _fused_fn(cfg)(params, cost, s1, s2)

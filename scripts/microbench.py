@@ -155,6 +155,59 @@ def main():
 
     bench("pair_branch", mk_pair)
 
+    # ---- pair branch as the model runs it: pallas corr volumes + vmapped
+    # 2D hourglass (adamvs.pair_corr_volumes + _PairBranch) --------------
+    def mk_pair_pallas():
+        from deep3d_aerial_tpu.models.adamvs import (_PairBranch,
+                                                     pair_corr_volumes)
+
+        h, w, c, d = S[1]
+        f1 = rnd(V, h, w, c)
+        rels = rel_mats(1)
+        depths = jnp.linspace(80.0, 120.0, d)
+
+        class Pair(nn.Module):
+            @nn.compact
+            def __call__(self, f1, rels):
+                corr = pair_corr_volumes(f1, rels, depths,
+                                         warp_impl="pallas")
+                VmapPair = nn.vmap(
+                    _PairBranch, in_axes=(0, None), out_axes=0,
+                    variable_axes={"params": None},
+                    split_rngs={"params": False})
+                return VmapPair(norm="group", dtype=dtype, name="pair")(
+                    corr, depths)
+
+        model = Pair()
+        params = jax.jit(model.init)(key, f1, rels)
+
+        @jax.jit
+        def step(fb, f1, rels):
+            conf, pd = model.apply(params, f1 + fb, rels)
+            return conf, jnp.float32(jnp.mean(pd) * 1e-12)
+
+        return step, jax.jit(lambda o: o[0, 0, 0]), (f1, rels)
+
+    bench("pair_branch_pallas", mk_pair_pallas)
+
+    # ---- the 2D hourglass alone (4 views, vmapped shared params) -------
+    def mk_pair_reg():
+        h, w, c, d = S[1]
+        reg = nn.vmap(CostRegNet2D, in_axes=0, out_axes=0,
+                      variable_axes={"params": None},
+                      split_rngs={"params": False})(norm="group", dtype=dtype)
+        vols = rnd(4, h, w, d)
+        params = jax.jit(reg.init)(key, vols)
+
+        @jax.jit
+        def step(fb, vols):
+            o = reg.apply(params, vols + fb)
+            return o, jnp.float32(jnp.mean(o) * 1e-12)
+
+        return step, jax.jit(lambda o: o[0, 0, 0, 0]), (vols,)
+
+    bench("pair_reg2d", mk_pair_reg)
+
     # ---- warp-only: the gathers at each stage -------------------------
     def mk_warp(stage, chunk=1):
         h, w, c, d = S[stage]
@@ -188,7 +241,7 @@ def main():
         bench(f"warp_s{s}_c8", mk_warp(s, chunk=8))
 
     # ---- recurrent sweeps (cost build + RedStep2 + online softmax) ----
-    def mk_sweep(stage, warp_impl="xla"):
+    def mk_sweep(stage, warp_impl="xla", red_impl="flax"):
         h, w, c, d = S[stage]
 
         def make():
@@ -203,7 +256,8 @@ def main():
             class Sweep(nn.Module):
                 @nn.compact
                 def __call__(self, ref, src, rels, weights, depths):
-                    r = RedStep2(up=up, dtype=dtype, name="red")
+                    r = RedStep2(up=up, dtype=dtype, impl=red_impl,
+                                 name="red")
                     return streaming_sweep(
                         reg=r, cost_mode="correlation", up=up, depths=depths,
                         ref_feat=ref, src_feats=src, rel_projs=rels,
@@ -227,9 +281,12 @@ def main():
         bench(f"sweep_s{s}", mk_sweep(s))
     for s in (1, 2, 3):
         bench(f"sweep_s{s}_pallas", mk_sweep(s, warp_impl="pallas"))
+    for s in (1, 2, 3):
+        bench(f"sweep_s{s}_full",
+              mk_sweep(s, warp_impl="pallas", red_impl="pallas"))
 
     # ---- RedStep2-only chain (no warp): isolates the GRU cost ---------
-    def mk_red(stage):
+    def mk_red(stage, red_impl="flax"):
         h, w, c, d = S[stage]
 
         def make():
@@ -239,7 +296,8 @@ def main():
             class RedChain(nn.Module):
                 @nn.compact
                 def __call__(self, costs):
-                    r = RedStep2(up=up, dtype=dtype, name="red")
+                    r = RedStep2(up=up, dtype=dtype, impl=red_impl,
+                                 name="red")
                     states = r.init_states(h, w)
 
                     ScanRed = nn.scan(
@@ -256,7 +314,8 @@ def main():
                 @nn.compact
                 def __call__(self, carry, cost):
                     states, acc = carry
-                    r = RedStep2(up=self.up, dtype=dtype, name="red")
+                    r = RedStep2(up=self.up, dtype=dtype, impl=red_impl,
+                                 name="red")
                     out = r(cost, *states)
                     score, new_states = out[0], tuple(out[1:])
                     return (new_states, acc + jnp.mean(score)), score.sum()
@@ -275,6 +334,8 @@ def main():
 
     for s in (1, 2, 3):
         bench(f"red_s{s}", mk_red(s))
+    for s in (1, 2, 3):
+        bench(f"red_s{s}_pallas", mk_red(s, red_impl="pallas"))
 
     total = sum(results.values())
     print(json.dumps({"name": "TOTAL_ms", "ms": round(total, 2),

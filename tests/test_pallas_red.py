@@ -13,6 +13,7 @@ from jax import flatten_util
 
 from deep3d_aerial_tpu.models.cost_reg import RedStep2
 from deep3d_aerial_tpu.ops.pallas_red import (
+    pad_width,
     red_step2_fused,
     red_step2_ok,
     red_step2_reference,
@@ -22,14 +23,18 @@ H, W = 32, 128
 
 
 def make_case(rng, Cin, up, dtype=jnp.float32):
+    """States are lane-padded to pad_width(W) (kernel calling convention
+    for W % 256 != 0); pad columns zero."""
     mod = RedStep2(up=up, dtype=dtype)
     cost = jnp.asarray(rng.standard_normal((H, W, Cin)), jnp.float32)
     s1h, s2h = mod.init_states(H, W)
     params = mod.init(jax.random.PRNGKey(0), cost, s1h, s2h)["params"]
-    s1 = jnp.asarray(rng.standard_normal((8, H, W)), jnp.float32) * 0.5
-    s2 = jnp.asarray(rng.standard_normal((16, H // 2, W // 2)),
-                     jnp.float32) * 0.5
-    return params, cost, s1, s2
+    Wp = pad_width(W)
+    s1 = np.zeros((8, H, Wp), np.float32)
+    s1[..., :W] = rng.standard_normal((8, H, W)) * 0.5
+    s2 = np.zeros((16, H // 2, Wp // 2), np.float32)
+    s2[..., : W // 2] = rng.standard_normal((16, H // 2, W // 2)) * 0.5
+    return params, cost, jnp.asarray(s1), jnp.asarray(s2)
 
 
 @pytest.mark.parametrize("Cin,up", [(8, False), (16, True), (32, True)])
@@ -182,6 +187,7 @@ def test_adamvs_red_impl_fallback_parity(rng):
 def test_red_step2_ok_gating():
     assert red_step2_ok(384, 512)
     assert red_step2_ok(192, 256)
-    assert not red_step2_ok(96, 128)   # W % 256 (half-res lane tiling)
+    assert red_step2_ok(96, 128)       # narrow: runs lane-padded to 256
     assert not red_step2_ok(33, 256)   # H % 16
-    assert not red_step2_ok(32, 100)   # W % 256
+    assert not red_step2_ok(32, 100)   # W % 8
+    assert pad_width(128) == 256 and pad_width(512) == 512
