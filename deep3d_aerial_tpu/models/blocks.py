@@ -133,12 +133,69 @@ class ConvGRUCell(nn.Module):
         return h_new
 
 
+def _upsample_axis_lerp(x, p: int, axis: int):
+    """Exact bilinear p-x upsampling along one axis (half-pixel centers +
+    edge clamp — jax.image.resize 'bilinear' semantics for integer
+    factors) as phase-decomposed slice lerps.
+
+    Why not jax.image.resize: its dot_general lowering makes XLA lay the
+    operands out channel-minor, lane-padding C=8..32 up to 128 — measured
+    25x HBM expansion (39 GB, OOM) on the [5,1856,2752,8] feature maps at
+    the full-res operating point (docs/PERF.md). Slices + elementwise
+    keep the natural W-minor layout."""
+    import numpy as np
+
+    axis = axis % x.ndim
+    n = x.shape[axis]
+
+    def shifted(a):
+        sl = [slice(None)] * x.ndim
+        if a == 0:
+            return x
+        if a == -1:
+            sl[axis] = slice(0, 1)
+            first = x[tuple(sl)]
+            sl[axis] = slice(0, n - 1)
+            return jnp.concatenate([first, x[tuple(sl)]], axis)
+        assert a == 1
+        sl[axis] = slice(n - 1, n)
+        last = x[tuple(sl)]
+        sl[axis] = slice(1, n)
+        return jnp.concatenate([x[tuple(sl)], last], axis)
+
+    phases = []
+    for q in range(p):
+        src = (q + 0.5) / p - 0.5
+        a = int(np.floor(src))
+        f = src - a
+        phases.append(((1.0 - f) * shifted(a) + f * shifted(a + 1))
+                      .astype(x.dtype))
+    y = jnp.stack(phases, axis=axis + 1)  # [..., n, p, ...]
+    return y.reshape(*x.shape[:axis], n * p, *x.shape[axis + 1:])
+
+
+def upsample_bilinear_int(x, p: int):
+    """Bilinear p-x spatial upsampling of [..., H, W, C], exactly matching
+    jax.image.resize(..., method='bilinear') for integer factors (tested)
+    without its layout-hostile dot_general lowering."""
+    return _upsample_axis_lerp(_upsample_axis_lerp(x, p, -3), p, -2)
+
+
+def upsample_nearest2x(x):
+    """Nearest 2x upsampling of [..., H, W, C] — identical to
+    jax.image.resize(..., method='nearest') at integer scale (floor of
+    half-pixel centers = index // 2), lowered as repeats."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=-3), 2, axis=-2)
+
+
 def avgpool_branch(x, pool: int, features: int, norm: str, dtype, name: str):
     """AvgPool(p) -> 1x1 conv -> bilinear upsample back (AdaMVS context
     branch, adamvs.py:75-97)."""
     H, W = x.shape[-3], x.shape[-2]
     y = nn.avg_pool(x, (pool, pool), strides=(pool, pool))
     y = ConvBlock(features, kernel=1, norm=norm, dtype=dtype, name=name)(y)
+    if y.shape[-3] * pool == H and y.shape[-2] * pool == W:
+        return upsample_bilinear_int(y, pool)
     y = jax.image.resize(y, (*y.shape[:-3], H, W, y.shape[-1]), method="bilinear")
     return y
 

@@ -127,17 +127,29 @@ class RedStep2(nn.Module):
     def _pallas_path(self, cost, s1, s2):
         import jax
 
-        from ..ops.pallas_red import red_step2_fused, red_step2_ok
+        from ..ops.pallas_red import (
+            red_step2_fused,
+            red_step2_ok,
+            red_step2_tiled,
+            red_step2_tiled_ok,
+        )
 
         Hs = s1.shape[-2]
         Wimg = cost.shape[-2]
-        usable = (
+        Cin = cost.shape[-1]
+        backend_ok = (
             not self.is_initializing()
             and self.base == 8
-            and red_step2_ok(Hs, Wimg)
             and (jax.default_backend() != "cpu" or self.interpret)
         )
-        if usable:
+        # single-call when the whole width fits in VMEM; column-slab tiled
+        # kernel at full-res widths (pallas_red.red_step2_tiled)
+        fn = None
+        if backend_ok and red_step2_ok(Hs, Wimg):
+            fn = red_step2_fused
+        elif backend_ok and red_step2_tiled_ok(Hs, Wimg, Cin):
+            fn = red_step2_tiled
+        if fn is not None:
             params = self.variables["params"]
             precision = ("bf16" if jnp.dtype(self.dtype) == jnp.bfloat16
                          else "f32x3")
@@ -146,11 +158,11 @@ class RedStep2(nn.Module):
             if s1.ndim == 4:
                 # leading depth-block axis: unrolled kernel calls (the
                 # kernel is per-image; n is a small static block count)
-                outs = [red_step2_fused(params, cost[i], s1[i], s2[i], **kw)
+                outs = [fn(params, cost[i], s1[i], s2[i], **kw)
                         for i in range(s1.shape[0])]
                 return tuple(jnp.stack([o[j] for o in outs])
                              for j in range(3))
-            return red_step2_fused(params, cost, s1, s2, **kw)
+            return fn(params, cost, s1, s2, **kw)
 
         # fallback: flax body on HWC layouts (crop the lane padding,
         # compute, zero-pad back — pad cols stay zero by construction)

@@ -17,12 +17,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import ConvBlock, DeconvFuse, avgpool_branch
+from .blocks import ConvBlock, DeconvFuse, avgpool_branch, upsample_nearest2x
 
 
 def _upsample2x_nearest(x):
-    H, W, C = x.shape[-3:]
-    return jax.image.resize(x, (*x.shape[:-3], H * 2, W * 2, C), method="nearest")
+    # repeats, not jax.image.resize — the resize lowering forces
+    # channel-minor layouts at full res (see blocks._upsample_axis_lerp)
+    return upsample_nearest2x(x)
 
 
 class FeatureNet(nn.Module):

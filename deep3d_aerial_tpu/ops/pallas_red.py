@@ -489,10 +489,18 @@ def red_step2_debug_tap(name, params, cost, s1, s2, *, up, dtype=jnp.float32,
 # host-side wrapper
 # --------------------------------------------------------------------------
 
+import os as _os
+
+# Scratch budget for strip selection. Larger strips amortize the 2*HF-row
+# vertical halo (T=16 loads 4x its output rows; T=64 only 1.75x) at the
+# cost of VMEM pressure; tune with RED_VMEM_MB (docs/PERF.md A/B).
+_VMEM_BUDGET = int(_os.environ.get("RED_VMEM_MB", "13")) * 2 ** 20
+
+
 def _pick_strip(H: int, W: int, Cin: int) -> int:
     """Largest strip height T (divisor of H, multiple of 16 so the
     half-res strip T/2 stays 8-row DMA-aligned) whose scratch stays
-    within ~13 MB of VMEM."""
+    within _VMEM_BUDGET."""
     best = 0
     for T in (96, 64, 48, 32, 16):
         if H % T or T % 16:
@@ -501,7 +509,7 @@ def _pick_strip(H: int, W: int, Cin: int) -> int:
         R2 = T // 2 + 2 * HH + 2 * G
         full = (Cin + 8 * 6) * R * W * 4          # cost + 6 f32 full buffers
         half = (16 * 5) * R2 * (W // 2) * 4 + 8 * R * W * 4
-        if full + half < 13 * 2 ** 20:
+        if full + half < _VMEM_BUDGET:
             best = max(best, T)
     return best
 
@@ -615,6 +623,91 @@ def _forward(cfg, params, cost, s1, s2):
         score = score[:, :Wimg]
     if tap is not None:
         return score, s1n, s2n, outs[3]
+    return score, s1n, s2n
+
+
+# --------------------------------------------------------------------------
+# column-slab tiling (full-res operating point)
+# --------------------------------------------------------------------------
+
+# Horizontal halo per slab side, in full-res columns. The step's horizontal
+# receptive field is <= 12 full-res columns (conv1 + 2 GRU convs -> r1 +-3;
+# stride-2 conv2 + GRU2 -> r2 +-9 in full cols; upconv + score head -> 12),
+# identical to the vertical field behind HF. 16 keeps the half-res halo (8)
+# even and leaves slack.
+SLAB_HALO = 16
+
+
+def _pick_slab(H: int, Wimg: int, Cin: int) -> int:
+    """Slab buffer width (multiple of 256, <= Wimg) minimizing total strip
+    traffic ~ n_slabs * n_strips * loaded_rows * slab_width; 0 if none fits."""
+    best, best_cost = 0, None
+    for WS in (256, 512, 768, 1024):
+        if WS > Wimg:
+            continue
+        T = _pick_strip(H, WS, Cin)
+        if T == 0:
+            continue
+        n = -(-Wimg // (WS - 2 * SLAB_HALO))
+        cost = n * (H // T) * (T + 2 * HF + 2 * G) * WS
+        if best_cost is None or cost < best_cost:
+            best, best_cost = WS, cost
+    return best
+
+
+def red_step2_tiled_ok(H: int, Wimg: int, Cin: int = 8) -> bool:
+    """Tiled-path applicability: widths too large for one VMEM-resident
+    kernel call (red_step2_ok) run as overlapping column slabs."""
+    if Wimg % 2 or H % 16:
+        return False
+    return _pick_slab(H, Wimg, Cin) > 0
+
+
+def red_step2_tiled(
+    params, cost: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray,
+    *, up: bool, dtype=jnp.float32, precision: str = "bf16",
+    interpret: bool = False, slab: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """red_step2_fused over overlapping column slabs — the full-res path.
+
+    The single-call kernel needs the whole buffer width resident in VMEM,
+    which tops out around W=768; the production operating point is
+    W=2752 (1856x2752 stage 3). This wrapper slices the image into
+    `slab`-wide windows overlapping by SLAB_HALO (>= the step's 12-col
+    horizontal receptive field), runs the unchanged kernel per slab, and
+    stitches the central columns. Interior slab edges see REAL halo data
+    (their zero-pad garbage lands in the cropped margin); windows are
+    clamped to [0, Wimg] so a slab buffer edge coincides with a true image
+    edge exactly when the kernel's SAME zero padding is the correct
+    semantics there. Same calling convention as red_step2_fused (states
+    lane-padded to pad_width(Wimg)); exact to the single-call kernel.
+    """
+    H, Wimg, Cin = cost.shape
+    Wpad = pad_width(Wimg)
+    assert s1.shape[-1] == Wpad, (s1.shape, Wimg, Wpad)
+    WS = slab if slab is not None else _pick_slab(H, Wimg, Cin)
+    assert 0 < WS <= Wimg and WS % 256 == 0, (WS, Wimg)
+    WC = WS - 2 * SLAB_HALO
+    n = -(-Wimg // WC)
+    kw = dict(up=up, dtype=dtype, precision=precision, interpret=interpret)
+    scores, s1cores, s2cores = [], [], []
+    for k in range(n):
+        a = k * WC
+        b = min(a + WC, Wimg)
+        o = min(max(a - SLAB_HALO, 0), Wimg - WS)
+        sc, r1, r2 = red_step2_fused(
+            params, cost[:, o:o + WS, :],
+            s1[..., o:o + WS], s2[..., o // 2:(o + WS) // 2], **kw)
+        lo, hi = a - o, b - o
+        s1cores.append(r1[..., lo:hi])
+        s2cores.append(r2[..., lo // 2:hi // 2])
+        scores.append(sc[:, 2 * lo:2 * hi] if up else sc[:, lo:hi])
+    score = jnp.concatenate(scores, axis=1)
+    s1n = jnp.concatenate(s1cores, axis=-1)
+    s2n = jnp.concatenate(s2cores, axis=-1)
+    if Wpad > Wimg:
+        s1n = jnp.pad(s1n, ((0, 0), (0, 0), (0, Wpad - Wimg)))
+        s2n = jnp.pad(s2n, ((0, 0), (0, 0), (0, (Wpad - Wimg) // 2)))
     return score, s1n, s2n
 
 

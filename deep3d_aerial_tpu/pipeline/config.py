@@ -50,6 +50,16 @@ class PipelineConfig:
     # 'float32' | 'compensated' — double-single projective chain for
     # numerically deep scenes (reference float64 warp, module.py:560)
     warp_precision: str = "float32"
+    # compute-path implementations (docs/PERF.md): fused Pallas kernels
+    # for the sweep cost build and the AdaMVS recurrent regularizer
+    # (in-graph fallback to the XLA gather / flax convs on unsupported
+    # shapes or off-TPU backends); 'xla' / 'flax' force the fallbacks
+    warp_impl: str = "pallas"
+    red_impl: str = "pallas"
+    # feature dtype: 'float32' (kernels run f32-exact via operand
+    # splitting) or 'bfloat16' (the measured-best throughput config;
+    # geometry stays f32 either way)
+    compute_dtype: str = "float32"
     # emit <name>_normal.pfm (normals from predicted depth) next to each
     # depth map — the optional normal-aware fusion input
     # (reference fusion_3d_normal.py:191-195)
@@ -116,7 +126,9 @@ class PipelineConfig:
             "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
                            "model_type", "ndepths", "pretrain_weight",
                            "allow_random_weights", "display_depth",
-                           "warp_precision", "save_normals"],
+                           "warp_precision", "save_normals",
+                           "warp_impl", "red_impl", "compute_dtype",
+                           "infer_batch_size"],
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
                        "photomatric_threshold", "position_threshold",
                        "depth_threshold", "normal_threshold", "pc_format"],

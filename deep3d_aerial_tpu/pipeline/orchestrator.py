@@ -138,10 +138,20 @@ class AerialPipeline:
         kwargs = {"num_depth": cfg.num_depth}
         if cfg.ndepths:
             kwargs["ndepths"] = tuple(int(x) for x in cfg.ndepths)
+        # compute-path config (docs/PERF.md): fused kernels by default,
+        # with in-graph fallbacks off-TPU / on unsupported shapes
+        kwargs["warp_impl"] = getattr(cfg, "warp_impl", "pallas")
+        kwargs["dtype"] = jnp.dtype(
+            {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+                getattr(cfg, "compute_dtype", "float32")])
+        if cfg.model_type == "adamvs":
+            kwargs["red_impl"] = getattr(cfg, "red_impl", "pallas")
         model = build_model(cfg.model_type, **kwargs)
         sample0 = ds.build(0)
         if params is None:
             params = self._load_params(model, sample0)
+
+        B_static = max(1, int(getattr(cfg, "infer_batch_size", 1)))
 
         @jax.jit
         def infer(p, imgs, rel, dmin, dmax):
@@ -149,6 +159,14 @@ class AerialPipeline:
                 out = model.apply(p, im, rp, a, b)
                 return out["depth"], out["photometric_confidence"]
 
+            if kwargs["warp_impl"] == "pallas":
+                # UNROLLED batch, not vmap: under vmap the pallas sweep
+                # kernel's lax.cond coverage fallback lowers to executing
+                # BOTH branches (docs/PERF.md "vmap is a trap here")
+                outs = [one(imgs[i], rel[i], dmin[i], dmax[i])
+                        for i in range(B_static)]
+                return (jnp.stack([o[0] for o in outs]),
+                        jnp.stack([o[1] for o in outs]))
             return jax.vmap(one)(imgs, rel, dmin, dmax)
 
         @jax.jit

@@ -252,3 +252,24 @@ def test_window_confidence_matches_reference_torch_oracle(rng):
 
     got = np.asarray(window_confidence(jnp.asarray(prob)))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("p,h,w,c", [(2, 5, 7, 3), (4, 6, 5, 8), (8, 4, 4, 2)])
+def test_upsample_bilinear_int_matches_resize(rng, p, h, w, c):
+    """The phase-decomposed lerp upsampler (layout-friendly replacement
+    for jax.image.resize in the feature net — docs/PERF.md) is EXACT vs
+    jax.image.resize bilinear at integer factors, including edges and
+    leading batch dims."""
+    from deep3d_aerial_tpu.models.blocks import (
+        upsample_bilinear_int,
+        upsample_nearest2x,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    got = upsample_bilinear_int(x, p)
+    want = jax.image.resize(x, (2, h * p, w * p, c), method="bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)
+    got_n = upsample_nearest2x(x)
+    want_n = jax.image.resize(x, (2, h * 2, w * 2, c), method="nearest")
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))

@@ -191,3 +191,109 @@ def test_red_step2_ok_gating():
     assert not red_step2_ok(33, 256)   # H % 16
     assert not red_step2_ok(32, 100)   # W % 8
     assert pad_width(128) == 256 and pad_width(512) == 512
+
+
+@pytest.mark.parametrize("up,Cin", [(True, 8), (False, 16)])
+def test_red_step2_tiled_matches_single(rng, up, Cin):
+    """Column-slab tiling (full-res path) is exact vs the flax oracle at a
+    width that forces 3 slabs with both clamped edge windows and an
+    interior window (W=600, slab=256 -> origins 0/208/344)."""
+    from deep3d_aerial_tpu.ops.pallas_red import red_step2_tiled
+
+    Hm, Wm = 32, 600
+    mod = RedStep2(up=up, dtype=jnp.float32)
+    cost = jnp.asarray(rng.standard_normal((Hm, Wm, Cin)), jnp.float32)
+    s1h, s2h = mod.init_states(Hm, Wm)
+    params = mod.init(jax.random.PRNGKey(0), cost, s1h, s2h)["params"]
+    Wp = pad_width(Wm)
+    s1 = np.zeros((8, Hm, Wp), np.float32)
+    s1[..., :Wm] = rng.standard_normal((8, Hm, Wm)) * 0.5
+    s2 = np.zeros((16, Hm // 2, Wp // 2), np.float32)
+    s2[..., : Wm // 2] = rng.standard_normal((16, Hm // 2, Wm // 2)) * 0.5
+    s1, s2 = jnp.asarray(s1), jnp.asarray(s2)
+    score, s1n, s2n = red_step2_tiled(
+        params, cost, s1, s2, up=up, precision="f32x3", interpret=True,
+        slab=256)
+    score_r, s1n_r, s2n_r = red_step2_reference(
+        params, cost, s1, s2, up=up, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s1n), np.asarray(s1n_r),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2n), np.asarray(s2n_r),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_red_step2_tiled_chained(rng):
+    """Tiled states chained across planes stay in parity (the scan
+    pattern at the full-res operating point)."""
+    from deep3d_aerial_tpu.ops.pallas_red import red_step2_tiled
+
+    Hm, Wm = 32, 600
+    mod = RedStep2(up=True, dtype=jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((Hm, Wm, 8)), jnp.float32)
+    s1h, s2h = mod.init_states(Hm, Wm)
+    params = mod.init(jax.random.PRNGKey(0), c0, s1h, s2h)["params"]
+    Wp = pad_width(Wm)
+    f1 = jnp.zeros((8, Hm, Wp), jnp.float32)
+    f2 = jnp.zeros((16, Hm // 2, Wp // 2), jnp.float32)
+    r1, r2 = f1, f2
+    for _ in range(3):
+        c = jnp.asarray(rng.standard_normal((Hm, Wm, 8)), jnp.float32)
+        sf, f1, f2 = red_step2_tiled(params, c, f1, f2, up=True,
+                                     precision="f32x3", interpret=True,
+                                     slab=256)
+        sr, r1, r2 = red_step2_reference(params, c, r1, r2, up=True,
+                                         dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(r1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(r2),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sr),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_red_step2_tiled_slab_selection():
+    """Applicability + slab choice at the production stage shapes."""
+    from deep3d_aerial_tpu.ops.pallas_red import (
+        _pick_slab,
+        red_step2_ok,
+        red_step2_tiled_ok,
+    )
+
+    # full-res stage 3 (1856x2752, Cin=8) and stage 2 (928x1376, Cin=16):
+    # too wide for one VMEM-resident call, handled by the tiled path
+    assert not red_step2_ok(1856, 2752)
+    assert red_step2_tiled_ok(1856, 2752, 8)
+    assert _pick_slab(1856, 2752, 8) > 0
+    assert not red_step2_ok(928, 1376)
+    assert red_step2_tiled_ok(928, 1376, 16)
+    # bench point stays on the single-call kernel
+    assert red_step2_ok(384, 512)
+
+
+def test_red_step2_module_routes_tiled(rng):
+    """RedStep2(impl='pallas') at a width too large for the single-call
+    kernel routes through the tiled path (interpret mode) and matches the
+    flax module."""
+    from deep3d_aerial_tpu.ops.pallas_red import red_step2_ok, red_step2_tiled_ok
+
+    Hm, Wm, Cin = 32, 600, 8
+    assert not red_step2_ok(Hm, Wm) and red_step2_tiled_ok(Hm, Wm, Cin)
+    flax_mod = RedStep2(up=False, dtype=jnp.float32)
+    pall_mod = RedStep2(up=False, dtype=jnp.float32, impl="pallas",
+                        interpret=True)
+    cost = jnp.asarray(rng.standard_normal((Hm, Wm, Cin)), jnp.float32)
+    s1h, s2h = flax_mod.init_states(Hm, Wm)
+    params = flax_mod.init(jax.random.PRNGKey(0), cost, s1h, s2h)["params"]
+    s1c, s2c = pall_mod.init_states(Hm, Wm)  # lane-padded convention
+    sc_p, a_p, b_p = pall_mod.apply({"params": params}, cost, s1c, s2c)
+    sc_f, a_f, b_f = flax_mod.apply({"params": params}, cost, s1h, s2h)
+    np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_f),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(a_p[..., :Wm]),
+        np.asarray(jnp.transpose(a_f, (2, 0, 1))), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(b_p[..., : Wm // 2]),
+        np.asarray(jnp.transpose(b_f, (2, 0, 1))), atol=5e-5, rtol=1e-4)
