@@ -306,11 +306,11 @@ class _ChunkSweepStep(nn.Module):
             weights, warp_impl=self.warp_impl,
         )
         if self.up:
-            dvs = jax.vmap(
-                lambda d: jax.image.resize(
-                    d, (2 * d.shape[0], 2 * d.shape[1]), method="bilinear"
-                )
-            )(flat)
+            # integer-2x lerp on [K, H, W] directly — jax.image.resize's
+            # dot_general lowering relayouts the plane stack (docs/PERF.md)
+            from .blocks import _upsample_axis_lerp
+
+            dvs = _upsample_axis_lerp(_upsample_axis_lerp(flat, 2, -2), 2, -1)
         else:
             dvs = flat
         if batched:

@@ -56,8 +56,24 @@ def variance_depth_samples(
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Bilinear 2x upsample of [H, W] (align_corners=False semantics)."""
     H, W = x.shape
-    return jax.image.resize(x, (H * 2, W * 2), method="bilinear")
+    return resize_bilinear(x, (H * 2, W * 2))
 
 
 def resize_bilinear(x: jnp.ndarray, shape) -> jnp.ndarray:
-    return jax.image.resize(x, tuple(shape), method="bilinear")
+    """Resize the last two axes to `shape` with bilinear half-pixel
+    semantics. Identity and integer-factor upsamples take the
+    phase-decomposed slice-lerp path (models.blocks._upsample_axis_lerp —
+    exact match to jax.image.resize, without its dot_general lowering
+    whose channel-minor relayout dominates inter-stage glue time,
+    docs/PERF.md); everything else falls back to jax.image.resize."""
+    shape = tuple(shape)
+    h, w = x.shape[-2:]
+    H, W = shape
+    if (h, w) == (H, W):
+        return x
+    if H % h == 0 and W % w == 0 and H // h == W // w:
+        from ..models.blocks import _upsample_axis_lerp
+
+        p = H // h
+        return _upsample_axis_lerp(_upsample_axis_lerp(x, p, -2), p, -1)
+    return jax.image.resize(x, x.shape[:-2] + shape, method="bilinear")

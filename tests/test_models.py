@@ -273,3 +273,24 @@ def test_upsample_bilinear_int_matches_resize(rng, p, h, w, c):
     got_n = upsample_nearest2x(x)
     want_n = jax.image.resize(x, (2, h * 2, w * 2, c), method="nearest")
     np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))
+
+
+@pytest.mark.parametrize("shape,target", [
+    ((6, 8), (12, 16)),     # 2x lerp path
+    ((6, 8), (24, 32)),     # 4x lerp path
+    ((6, 8), (6, 8)),       # identity path
+    ((7, 9), (13, 15)),     # non-integer -> jax.image.resize fallback
+    ((5, 6, 8), (12, 16)),  # leading plane-stack dim (the in-scan dvs case)
+])
+def test_resize_bilinear_fast_paths_match_resize(rng, shape, target):
+    """ops.depth_samplers.resize_bilinear routes identity / integer-factor
+    upsamples through the layout-friendly slice-lerp (used for the
+    inter-stage depth/weight handoffs and the in-scan depth-value
+    upsample) — must match jax.image.resize bilinear exactly."""
+    from deep3d_aerial_tpu.ops.depth_samplers import resize_bilinear
+
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    got = resize_bilinear(x, target)
+    want = jax.image.resize(x, x.shape[:-2] + target, method="bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)
