@@ -241,7 +241,7 @@ def main():
         bench(f"warp_s{s}_c8", mk_warp(s, chunk=8))
 
     # ---- recurrent sweeps (cost build + RedStep2 + online softmax) ----
-    def mk_sweep(stage, warp_impl="xla", red_impl="flax"):
+    def mk_sweep(stage, warp_impl="xla", red_impl="flax", windowed=False):
         h, w, c, d = S[stage]
 
         def make():
@@ -251,7 +251,21 @@ def main():
             src = rnd(4, h, w, c)
             rels = rel_mats(stage)
             weights = jnp.ones((4, h, w), jnp.float32)
-            depths = jnp.linspace(80.0, 120.0, d)
+            if windowed:
+                # per-pixel depth windows like the REAL stage-2/3 handoff
+                # (a smooth center map): the pallas kernel's window origins
+                # become per-tile dynamic — measures the cost the
+                # broadcast-linspace variant hides
+                from deep3d_aerial_tpu.ops.depth_samplers import (
+                    window_depth_samples)
+
+                yy, xx = np.meshgrid(np.linspace(-1, 1, h),
+                                     np.linspace(-1, 1, w), indexing="ij")
+                center = jnp.asarray(100.0 + 6.0 * (yy + 0.5 * xx),
+                                     jnp.float32)
+                depths = window_depth_samples(center, d, 40.0 / d)
+            else:
+                depths = jnp.linspace(80.0, 120.0, d)
 
             class Sweep(nn.Module):
                 @nn.compact
@@ -284,6 +298,10 @@ def main():
     for s in (1, 2, 3):
         bench(f"sweep_s{s}_full",
               mk_sweep(s, warp_impl="pallas", red_impl="pallas"))
+    for s in (2, 3):
+        bench(f"sweep_s{s}_full_win",
+              mk_sweep(s, warp_impl="pallas", red_impl="pallas",
+                       windowed=True))
 
     # ---- RedStep2-only chain (no warp): isolates the GRU cost ---------
     def mk_red(stage, red_impl="flax"):
