@@ -436,8 +436,16 @@ def sweep_cost_chunk_pallas(
     nr: int = 4,
     precision: str = "f32x3",
     interpret: bool = False,
+    out_layout: str = "khwc",  # 'khwc' | 'kchw' (channel-first)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ALL-VIEW fused warp + cost aggregation -> ([K, H, W, C], covered).
+
+    out_layout='kchw' emits [K, C, H, W] instead: the kernel's raw output
+    is channel-major per tile, so channel-first needs only the SAME
+    single tile-stitch pass as NHWC while handing the fused RedStep2
+    kernel its native layout directly — the device trace showed the
+    NHWC->CHW relayout between the two kernels costing ~1.5 ms/iter at
+    stage 2 alone (docs/PERF.md).
 
     mode='corr':     cost = sum_v w_v * (ref ⊙ warp_v) / (sum_v w_v + 1e-5)
                      (cascade.correlation_cost_plane semantics)
@@ -516,11 +524,11 @@ def sweep_cost_chunk_pallas(
         interpret=interpret,
     )(origins, rels_flat, depths, ref_t, weights.astype(jnp.float32), src_t)
 
-    cost = (
-        flat.reshape(K, n_th, n_tw, C, TH, TW)
-        .transpose(0, 1, 4, 2, 5, 3)
-        .reshape(K, H, W, C)
-    )
+    tiles = flat.reshape(K, n_th, n_tw, C, TH, TW)
+    if out_layout == "kchw":
+        cost = tiles.transpose(0, 3, 1, 4, 2, 5).reshape(K, C, H, W)
+    else:
+        cost = tiles.transpose(0, 1, 4, 2, 5, 3).reshape(K, H, W, C)
     return cost, covered
 
 
