@@ -65,6 +65,7 @@ def pair_corr_volumes(
     # (tile_ok already excludes the CPU backend)
 
     from ..ops.pallas_sweep import sweep_corr_chunk_pallas
+    from .cascade import _pallas_interpret
 
     K = 8
     while D % K:
@@ -74,7 +75,8 @@ def pair_corr_volumes(
     for v in range(f1.shape[0] - 1):
         corr_v, cov_v = jax.lax.map(
             lambda dc, _v=v: sweep_corr_chunk_pallas(
-                f1[0], f1[1 + _v], rel1[_v], dc),
+                f1[0], f1[1 + _v], rel1[_v], dc,
+                interpret=_pallas_interpret()),
             chunks,
         )
         vols.append(corr_v.reshape(D, H1, W1))

@@ -7,6 +7,7 @@ batching. Geometry stays float32; features may run in bfloat16.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -17,7 +18,8 @@ from ..ops.warp import plane_sweep_warp, plane_sweep_warp_single
 
 
 def variance_cost_volume(
-    feats: jnp.ndarray, rel: jnp.ndarray, depths: jnp.ndarray
+    feats: jnp.ndarray, rel: jnp.ndarray, depths: jnp.ndarray,
+    warp_impl: str = "xla",
 ) -> jnp.ndarray:
     """Variance cost volume over views (MVSNet aggregation).
 
@@ -26,10 +28,14 @@ def variance_cost_volume(
     [D, H, W] -> [D, H, W, C] = E[f^2] - E[f]^2 over the V warped features
     (reference cas_mvsnet.py:45-60).
 
-    Built PLANE-BY-PLANE (lax.map over D): a full-volume warp materializes
-    [D*H*W, C] gather buffers that XLA lane-pads 4x for C=32 (measured
-    18 GB at 768x1024 stage 1 — HBM OOM); per-plane gathers keep the live
-    intermediates at [H*W, C].
+    warp_impl='pallas' builds the volume in 8-plane chunks through the
+    fused sweep kernel (mode='variance', prepared operands, custom VJP;
+    the casmvsnet/ucsnet analog of the AdaMVS streaming kernel path).
+
+    The XLA path is built PLANE-BY-PLANE (lax.map over D): a full-volume
+    warp materializes [D*H*W, C] gather buffers that XLA lane-pads 4x for
+    C=32 (measured 18 GB at 768x1024 stage 1 — HBM OOM); per-plane gathers
+    keep the live intermediates at [H*W, C].
     """
     rel = rel.astype(jnp.float32)
     ref = feats[0]
@@ -41,11 +47,35 @@ def variance_cost_volume(
     else:
         depths_hw = depths
 
+    if warp_impl == "pallas" and _pallas_tile_ok(*ref.shape[:2]):
+        return _variance_volume_pallas(feats, rel, depths_hw)
+
     # chunked: 8 planes per gather (big DMA batches; peak stays bounded)
     return jax.lax.map(
         lambda d: variance_cost_plane(ref, feats[1:], rel, d), depths_hw,
         batch_size=min(8, depths_hw.shape[0]),
     )
+
+
+def _variance_volume_pallas(feats, rel, depths_hw):
+    """[D, H, W, C] variance volume via the fused sweep kernel, 8-plane
+    chunks under lax.map (a scan: the per-chunk coverage lax.cond stays a
+    cond, unlike under vmap — docs/PERF.md). Operands prepared once
+    outside the scan; gradients via the chunk custom VJP."""
+    from ..ops.pallas_sweep import prepare_sweep_operands
+
+    D, H, W = depths_hw.shape
+    K = 8
+    while D % K:
+        K -= 1
+    ops = prepare_sweep_operands(feats[0], feats[1:], None)
+    chunks = depths_hw.reshape(D // K, K, H, W)
+    vol = jax.lax.map(
+        lambda dc: chunk_costs_prepared("variance", dc, ops, rel,
+                                        feats.dtype),
+        chunks,
+    )
+    return vol.reshape(D, H, W, feats.shape[-1])
 
 
 def variance_cost_plane(
@@ -106,6 +136,7 @@ def blocked_volume_scores(
     reg_cls, reg_kwargs: dict, name: str,
     feats: jnp.ndarray, rel: jnp.ndarray, depths: jnp.ndarray,
     depth_shards: int = 1,
+    warp_impl: str = "xla",
 ) -> jnp.ndarray:
     """Variance cost volume + 3D regularizer, optionally blocked along D
     for 'sp' sharding -> scores [D, H, W].
@@ -126,8 +157,12 @@ def blocked_volume_scores(
     n, blocks = split_depth_blocks(depths, depth_shards)
     if n == 1:
         return reg_cls(**reg_kwargs, name=name)(
-            variance_cost_volume(feats, rel, depths)
+            variance_cost_volume(feats, rel, depths, warp_impl=warp_impl)
         )
+    # blocked ('sp') path: vmap over blocks would turn the kernel's
+    # coverage cond into select-both-branches, so it stays on the gather
+    # build (the sp axis is an inference-scaling path, not the single-chip
+    # throughput path)
     vols = jax.vmap(
         lambda d: variance_cost_volume(feats, rel, d)
     )(blocks)
@@ -176,13 +211,24 @@ def masked_softmax_depth_head(
     return prob, depth, prob.max(axis=0)
 
 
+def _pallas_interpret() -> bool:
+    """CPU-test escape hatch: with PALLAS_INTERPRET=1 the fused kernels
+    run in Pallas interpret mode, so tests exercise the EXACT production
+    graph (prepared operands, channel-first handoff, coverage cond)
+    off-chip."""
+    return os.environ.get("PALLAS_INTERPRET", "0") == "1"
+
+
 def _pallas_tile_ok(H: int, W: int) -> bool:
-    """Kernel applicability: tile-divisible shapes AND a backend that can
-    run Mosaic (the CPU backend silently gets the gather path — tests and
-    multihost CPU workers never trip on pallas_call)."""
-    if H % 8 or W % 128:
-        return False
-    return jax.default_backend() != "cpu"
+    """Kernel applicability. Shape is no longer a gate: the sweep wrappers
+    zero-pad any H, W to their tile/lane alignment internally (padded ref
+    pixels masked, output cropped — ops/pallas_sweep), so the reference
+    production widths 2752/1376/688 all take the kernel. Only the backend
+    gate remains: the CPU backend (which cannot run Mosaic) silently gets
+    the gather path — tests and multihost CPU workers never trip on
+    pallas_call."""
+    del H, W
+    return jax.default_backend() != "cpu" or _pallas_interpret()
 
 
 def _xla_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats, rel_projs,
@@ -215,7 +261,7 @@ def _pallas_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats,
     cost_p, covered = sweep_cost_chunk_pallas(
         ref_feat, src_feats, rel_projs, depth_chunk,
         weights=None if mode == "variance" else weights,
-        mode=mode,
+        mode=mode, interpret=_pallas_interpret(),
     )
     return jax.lax.cond(
         covered,
@@ -243,6 +289,83 @@ def _pallas_chunk_costs_bwd(cost_mode, res, g):
 
 
 _pallas_chunk_costs.defvjp(_pallas_chunk_costs_fwd, _pallas_chunk_costs_bwd)
+
+
+def _xla_costs_from_prepared(cost_mode, img_hw, out_cf, depth_chunk,
+                             ref_t, src_t, rels, wts):
+    """XLA gather fallback on PREPARED operands (pallas_sweep.SweepOperands
+    layouts), emitting the same layout as the kernel path: kchw at the
+    padded buffer width (out_cf) or cropped khwc. Also the custom-VJP
+    backward formulation — the transposes/crops are linear, so gradients
+    through it are exact."""
+    H, W = img_hw
+    ref = jnp.transpose(ref_t, (1, 2, 0))[:H, :W]
+    src = jnp.transpose(src_t, (0, 1, 3, 2))[:, :H, :W]
+    out = _xla_chunk_costs(cost_mode, depth_chunk, ref, src, rels,
+                           wts[:, :H, :W])  # [K, H, W, C]
+    if not out_cf:
+        return out
+    Wp = src_t.shape[-1]
+    out = jnp.transpose(out, (0, 3, 1, 2))
+    if Wp > W:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_chunk_costs_prepared(spec, depth_chunk, ref_t, src_t, rels, wts):
+    """Fused-kernel cost build on prepared operands; spec is the static
+    (cost_mode, img_hw, out_cf, dtype_name) tuple. Same forward-kernel /
+    XLA-backward contract as _pallas_chunk_costs."""
+    cost_mode, img_hw, out_cf, dtype_name = spec
+    from ..ops.pallas_sweep import SweepOperands, sweep_cost_chunk_prepared
+
+    ops = SweepOperands(ref_t, src_t, wts, img_hw)
+    mode = "variance" if cost_mode == "variance" else "corr"
+    cost_p, covered = sweep_cost_chunk_prepared(
+        ops, rels, depth_chunk, mode=mode,
+        out_layout="kchw" if out_cf else "khwc", keep_pad_w=out_cf,
+        interpret=_pallas_interpret(),
+    )
+    dt = jnp.dtype(dtype_name)
+    return jax.lax.cond(
+        covered,
+        lambda: cost_p.astype(dt),
+        lambda: _xla_costs_from_prepared(
+            cost_mode, img_hw, out_cf, depth_chunk, ref_t, src_t, rels,
+            wts).astype(dt),
+    )
+
+
+def _pcp_fwd(spec, depth_chunk, ref_t, src_t, rels, wts):
+    out = _pallas_chunk_costs_prepared(spec, depth_chunk, ref_t, src_t,
+                                       rels, wts)
+    return out, (depth_chunk, ref_t, src_t, rels, wts)
+
+
+def _pcp_bwd(spec, res, g):
+    cost_mode, img_hw, out_cf, dtype_name = spec
+    _, vjp = jax.vjp(
+        lambda d, rt, st, rl, w: _xla_costs_from_prepared(
+            cost_mode, img_hw, out_cf, d, rt, st, rl, w
+        ).astype(jnp.dtype(dtype_name)),
+        *res,
+    )
+    return vjp(g)
+
+
+_pallas_chunk_costs_prepared.defvjp(_pcp_fwd, _pcp_bwd)
+
+
+def chunk_costs_prepared(cost_mode, depth_chunk, ops, rels, dtype,
+                         out_cf: bool = False) -> jnp.ndarray:
+    """Kernel cost build over prepared operands -> [K, H, W, C] (or
+    [K, C, H, Wpad] channel-first at the RedStep2 buffer width when
+    out_cf — the zero-relayout kernel handoff, docs/PERF.md)."""
+    spec = (cost_mode, tuple(ops.img_hw), bool(out_cf),
+            jnp.dtype(dtype).name)
+    return _pallas_chunk_costs_prepared(spec, depth_chunk, ops.ref_t,
+                                        ops.src_t, rels, ops.weights)
 
 
 def chunk_costs(
@@ -284,12 +407,21 @@ class _ChunkSweepStep(nn.Module):
     plane instead of n vmapped graphs — same math, n-fold larger MXU
     batches), and the cost build flattens blocks into one n*K-plane
     kernel call with a single coverage cond (a vmapped lax.cond would
-    execute BOTH branches — docs/PERF.md)."""
+    execute BOTH branches — docs/PERF.md).
+
+    With `prepared`, the broadcast (ref_feat, src_feats, weights) args
+    carry pallas_sweep.SweepOperands layouts (padded + pre-transposed
+    ONCE outside the scan; img_hw holds the true size), and with `out_cf`
+    the cost chunk flows channel-first at the RedStep2 kernel's buffer
+    width — zero relayouts between the two kernels (docs/PERF.md)."""
 
     reg: nn.Module
     cost_mode: str  # 'variance' | 'correlation'
     up: bool
     warp_impl: str = "xla"
+    prepared: bool = False
+    out_cf: bool = False
+    img_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, carry, depth_chunk, ref_feat, src_feats, rel_projs, weights):
@@ -301,23 +433,35 @@ class _ChunkSweepStep(nn.Module):
         else:
             K = depth_chunk.shape[0]
             flat = depth_chunk
-        costs = chunk_costs(
-            self.cost_mode, flat, ref_feat, src_feats, rel_projs,
-            weights, warp_impl=self.warp_impl,
-        )
+        if self.prepared:
+            from ..ops.pallas_sweep import SweepOperands
+
+            ops = SweepOperands(ref_feat, src_feats, weights, self.img_hw)
+            costs = chunk_costs_prepared(
+                self.cost_mode, flat, ops, rel_projs,
+                getattr(self.reg, "dtype", jnp.float32), out_cf=self.out_cf,
+            )
+        else:
+            costs = chunk_costs(
+                self.cost_mode, flat, ref_feat, src_feats, rel_projs,
+                weights, warp_impl=self.warp_impl,
+            )
         if self.up:
             # integer-2x lerp on [K, H, W] directly — jax.image.resize's
             # dot_general lowering relayouts the plane stack (docs/PERF.md)
-            from .blocks import _upsample_axis_lerp
+            from ..ops.resize import upsample_axis_lerp
 
-            dvs = _upsample_axis_lerp(_upsample_axis_lerp(flat, 2, -2), 2, -1)
+            dvs = upsample_axis_lerp(upsample_axis_lerp(flat, 2, -2), 2, -1)
         else:
             dvs = flat
         if batched:
             costs = costs.reshape(n, K, *costs.shape[1:])
             dvs = dvs.reshape(n, K, *dvs.shape[1:])
+        reg_kw = ({"cost_cf": True, "img_w": self.img_hw[1]}
+                  if self.out_cf else {})
         for k in range(K):
-            out = self.reg(costs[:, k] if batched else costs[k], *states)
+            out = self.reg(costs[:, k] if batched else costs[k], *states,
+                           **reg_kw)
             score, states = out[0], tuple(out[1:])
             osm = OnlineSoftmaxState.update(osm, score.astype(jnp.float32),
                                             dvs[:, k] if batched else dvs[k])
@@ -337,13 +481,18 @@ class _ShardSweep(nn.Module):
     up: bool
     plane_chunk: int
     warp_impl: str = "xla"
+    prepared: bool = False
+    out_cf: bool = False
+    img_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, depths, ref_feat, src_feats, rel_projs, weights):
         """depths [D, H, W], or [n, D/n, H, W] for the batched-block
         ('sp') recurrence — n blocks advance in lockstep with the block
-        axis as a conv batch dim (see _ChunkSweepStep)."""
-        H, W = ref_feat.shape[:2]
+        axis as a conv batch dim (see _ChunkSweepStep). With `prepared`,
+        (ref_feat, src_feats, weights) carry SweepOperands layouts and
+        H, W come from img_hw."""
+        H, W = self.img_hw if self.prepared else ref_feat.shape[:2]
         batched = depths.ndim == 4
         n = depths.shape[0] if batched else 1
         D = depths.shape[1] if batched else depths.shape[0]
@@ -376,7 +525,9 @@ class _ShardSweep(nn.Module):
             out_axes=0,
         )
         (_, osm), _ = Scan(reg=self.reg, cost_mode=self.cost_mode,
-                           up=self.up, warp_impl=self.warp_impl)(
+                           up=self.up, warp_impl=self.warp_impl,
+                           prepared=self.prepared, out_cf=self.out_cf,
+                           img_hw=self.img_hw)(
             (init_states, osm0), chunks, ref_feat, src_feats, rel_projs,
             weights,
         )
@@ -426,13 +577,34 @@ def streaming_sweep(
     if weights is None:
         weights = jnp.ones((src_feats.shape[0], H, W), jnp.float32)
 
+    # Kernel path: pad + transpose the sweep operands ONCE here (outside
+    # the scan — XLA does not hoist large loop-invariant transposes out of
+    # while loops, docs/PERF.md), and when the regularizer is the fused
+    # RedStep2 kernel, hand costs over channel-first at its buffer width
+    # (prepare pad_to=256 == pallas_red.pad_width alignment).
+    prepared = (warp_impl == "pallas" and _pallas_tile_ok(H, W)
+                and os.environ.get("SWEEP_PREPARED", "1") == "1")
+    out_cf = (prepared and getattr(reg, "impl", "flax") == "pallas"
+              and os.environ.get("SWEEP_CF", "1") == "1")
+    if prepared:
+        from ..ops.pallas_sweep import prepare_sweep_operands
+
+        ops = prepare_sweep_operands(ref_feat, src_feats, weights,
+                                     pad_to=256 if out_cf else 128)
+        ref_arg, src_arg, w_arg = ops.ref_t, ops.src_t, ops.weights
+        img_hw = ops.img_hw
+    else:
+        ref_arg, src_arg, w_arg = ref_feat, src_feats, weights
+        img_hw = None
+
     n = max(1, int(depth_shards))
     while D % n:
         n -= 1
     if n == 1:
         osm = _ShardSweep(reg=reg, cost_mode=cost_mode, up=up,
-                          plane_chunk=plane_chunk, warp_impl=warp_impl)(
-            depths, ref_feat, src_feats, rel_projs, weights)
+                          plane_chunk=plane_chunk, warp_impl=warp_impl,
+                          prepared=prepared, out_cf=out_cf, img_hw=img_hw)(
+            depths, ref_arg, src_arg, rel_projs, w_arg)
         return OnlineSoftmaxState.finalize(osm)
 
     # batched-block path: the block axis rides through the regularizer as
@@ -441,8 +613,10 @@ def streaming_sweep(
     # executes both kernel and fallback branches (docs/PERF.md)
     blocks = constrain(depths.reshape(n, D // n, H, W), "depth_shards")
     osm_blocks = _ShardSweep(reg=reg, cost_mode=cost_mode, up=up,
-                             plane_chunk=plane_chunk, warp_impl=warp_impl)(
-        blocks, ref_feat, src_feats, rel_projs, weights)
+                             plane_chunk=plane_chunk, warp_impl=warp_impl,
+                             prepared=prepared, out_cf=out_cf,
+                             img_hw=img_hw)(
+        blocks, ref_arg, src_arg, rel_projs, w_arg)
     osm_blocks = tuple(constrain(s, "depth_shards") for s in osm_blocks)
     return OnlineSoftmaxState.finalize(
         OnlineSoftmaxState.merge_axis0(osm_blocks))

@@ -103,7 +103,22 @@ class RedStep2(nn.Module):
     interpret: bool = False   # pallas interpret mode (CPU tests only)
 
     @nn.compact
-    def __call__(self, cost, s1, s2):
+    def __call__(self, cost, s1, s2, cost_cf: bool = False,
+                 img_w: "int | None" = None):
+        """cost_cf: cost arrives CHANNEL-FIRST at the kernel's padded
+        buffer width ([Cin, H, Wpad], or [n, Cin, H, Wpad] with a leading
+        depth-block axis; pad columns exactly zero) — the zero-relayout
+        handoff from the fused sweep kernel (cascade.chunk_costs_prepared).
+        img_w is the true image width (required with cost_cf)."""
+        if cost_cf:
+            assert img_w is not None, "cost_cf needs the true image width"
+            if self.impl == "pallas":
+                return self._pallas_path(cost, s1, s2, cost_cf=True,
+                                         img_w=img_w)
+            cost = jnp.transpose(
+                cost[..., :img_w],
+                (1, 2, 0) if cost.ndim == 3 else (0, 2, 3, 1))
+            return self._flax_body(cost, s1, s2)
         if self.impl == "pallas":
             return self._pallas_path(cost, s1, s2)
         return self._flax_body(cost, s1, s2)
@@ -124,10 +139,12 @@ class RedStep2(nn.Module):
             score = nn.Conv(1, (3, 3), padding="SAME", dtype=dt, name="out2d")(fused)
         return score[..., 0], r1, r2
 
-    def _pallas_path(self, cost, s1, s2):
+    def _pallas_path(self, cost, s1, s2, cost_cf: bool = False,
+                     img_w: "int | None" = None):
         import jax
 
         from ..ops.pallas_red import (
+            pad_width,
             red_step2_fused,
             red_step2_ok,
             red_step2_tiled,
@@ -135,12 +152,22 @@ class RedStep2(nn.Module):
         )
 
         Hs = s1.shape[-2]
-        Wimg = cost.shape[-2]
-        Cin = cost.shape[-1]
+        if cost_cf:
+            Wimg = img_w
+            Cin = cost.shape[-3]
+            assert cost.shape[-1] == pad_width(Wimg) == s1.shape[-1], (
+                cost.shape, Wimg, s1.shape)
+        else:
+            Wimg = cost.shape[-2]
+            Cin = cost.shape[-1]
+        import os
+
+        interp = (self.interpret
+                  or os.environ.get("PALLAS_INTERPRET", "0") == "1")
         backend_ok = (
             not self.is_initializing()
             and self.base == 8
-            and (jax.default_backend() != "cpu" or self.interpret)
+            and (jax.default_backend() != "cpu" or interp)
         )
         # single-call when the whole width fits in VMEM; column-slab tiled
         # kernel at full-res widths (pallas_red.red_step2_tiled)
@@ -154,7 +181,9 @@ class RedStep2(nn.Module):
             precision = ("bf16" if jnp.dtype(self.dtype) == jnp.bfloat16
                          else "f32x3")
             kw = dict(up=self.up, dtype=self.dtype, precision=precision,
-                      interpret=self.interpret)
+                      interpret=interp)
+            if cost_cf:
+                kw.update(cost_cf=True, img_w=Wimg)
             if s1.ndim == 4:
                 # leading depth-block axis: unrolled kernel calls (the
                 # kernel is per-image; n is a small static block count)
@@ -171,6 +200,8 @@ class RedStep2(nn.Module):
             perm_in, perm_out = (0, 2, 3, 1), (0, 3, 1, 2)
         else:
             perm_in, perm_out = (1, 2, 0), (2, 0, 1)
+        if cost_cf:
+            cost = jnp.transpose(cost[..., :Wimg], perm_in)
         score, r1, r2 = self._flax_body(
             cost,
             jnp.transpose(s1[..., :Wimg], perm_in),

@@ -38,7 +38,9 @@ class UCSNet(nn.Module):
     norm: str = "group"
     dtype: Any = jnp.float32
     depth_shards: int = 1  # 'sp' depth blocking; see cascade.blocked_volume_scores
-    warp_impl: str = "xla"  # accepted for zoo API uniformity (volume build is the gather path)
+    # 'pallas': variance volume built by the fused sweep kernel
+    # (cascade._variance_volume_pallas); 'xla': gather path / oracle
+    warp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
@@ -74,7 +76,7 @@ class UCSNet(nn.Module):
             scores = blocked_volume_scores(
                 CostRegNet3D, {"norm": self.norm, "dtype": self.dtype},
                 f"cost_reg{s}", feats, rel_projs[s], depths,
-                depth_shards=self.depth_shards,
+                depth_shards=self.depth_shards, warp_impl=self.warp_impl,
             )
             prob, depth, _ = masked_softmax_depth_head(
                 scores.astype(jnp.float32), depths

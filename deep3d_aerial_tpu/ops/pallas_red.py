@@ -481,7 +481,7 @@ def red_step2_debug_tap(name, params, cost, s1, s2, *, up, dtype=jnp.float32,
     Wpad = pad_width(Wimg)
     T = _pick_strip(H, Wpad, Cin)
     cfg = (Cin, H, Wpad, Wimg, bool(up), T, precision, bool(interpret),
-           jnp.dtype(dtype).name, name)
+           jnp.dtype(dtype).name, False, name)
     return _forward(cfg, params, cost, s1, s2)
 
 
@@ -534,13 +534,17 @@ def red_step2_ok(H: int, W: int) -> bool:
 
 
 def _forward(cfg, params, cost, s1, s2):
-    """cfg = (Cin, H, W, Wimg, up, T, precision, interpret, dtype[, tap]).
+    """cfg = (Cin, H, W, Wimg, up, T, precision, interpret, dtype, cf_in
+    [, tap]).
 
-    W is the lane-padded buffer width; cost arrives at the logical Wimg
-    and is padded here; states live padded (the kernel keeps their pad
-    columns zero); score is cropped back to Wimg."""
-    Cin, H, W, Wimg, up, T, precision, interpret, dtype_name = cfg[:9]
-    tap = cfg[9] if len(cfg) > 9 else None
+    W is the lane-padded buffer width; cost arrives NHWC at the logical
+    Wimg and is padded here — or, with cf_in, already CHANNEL-FIRST at
+    the buffer width ([Cin, H, W], pad columns exactly zero: the sweep
+    kernel's keep_pad_w handoff), in which case no relayout happens at
+    all. States live padded (the kernel keeps their pad columns zero);
+    score is cropped back to Wimg."""
+    Cin, H, W, Wimg, up, T, precision, interpret, dtype_name, cf_in = cfg[:10]
+    tap = cfg[10] if len(cfg) > 10 else None
     dtype = jnp.dtype(dtype_name)
     T2 = T // 2
     H2, W2 = H // 2, W // 2
@@ -548,9 +552,13 @@ def _forward(cfg, params, cost, s1, s2):
     R, R2 = T + 2 * HF, T2 + 2 * HH
 
     packed = pack_redstep_params(params, Cin, up, W, dtype)
-    cost_t = jnp.transpose(cost, (2, 0, 1)).astype(dtype)  # [Cin, H, Wimg]
-    if Wimg < W:
-        cost_t = jnp.pad(cost_t, ((0, 0), (0, 0), (0, W - Wimg)))
+    if cf_in:
+        assert cost.shape == (Cin, H, W), (cost.shape, (Cin, H, W))
+        cost_t = cost.astype(dtype)
+    else:
+        cost_t = jnp.transpose(cost, (2, 0, 1)).astype(dtype)  # [Cin,H,Wimg]
+        if Wimg < W:
+            cost_t = jnp.pad(cost_t, ((0, 0), (0, 0), (0, W - Wimg)))
 
     kernel = functools.partial(
         _red_kernel, Cin=Cin, H=H, W=W, Wimg=Wimg, T=T, up=up,
@@ -667,6 +675,7 @@ def red_step2_tiled(
     params, cost: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray,
     *, up: bool, dtype=jnp.float32, precision: str = "bf16",
     interpret: bool = False, slab: int | None = None,
+    cost_cf: bool = False, img_w: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """red_step2_fused over overlapping column slabs — the full-res path.
 
@@ -681,8 +690,16 @@ def red_step2_tiled(
     edge exactly when the kernel's SAME zero padding is the correct
     semantics there. Same calling convention as red_step2_fused (states
     lane-padded to pad_width(Wimg)); exact to the single-call kernel.
+    cost_cf: cost channel-first at pad_width(img_w) (see red_step2_fused)
+    — slabs slice the cf buffer directly, no per-slab relayout.
     """
-    H, Wimg, Cin = cost.shape
+    if cost_cf:
+        assert img_w is not None
+        Cin, H, Wbuf = cost.shape
+        Wimg = int(img_w)
+        assert Wbuf == pad_width(Wimg), (cost.shape, Wimg)
+    else:
+        H, Wimg, Cin = cost.shape
     Wpad = pad_width(Wimg)
     assert s1.shape[-1] == Wpad, (s1.shape, Wimg, Wpad)
     WS = slab if slab is not None else _pick_slab(H, Wimg, Cin)
@@ -695,9 +712,12 @@ def red_step2_tiled(
         a = k * WC
         b = min(a + WC, Wimg)
         o = min(max(a - SLAB_HALO, 0), Wimg - WS)
+        cost_slab = (cost[:, :, o:o + WS] if cost_cf
+                     else cost[:, o:o + WS, :])
+        slab_kw = dict(kw, cost_cf=True, img_w=WS) if cost_cf else kw
         sc, r1, r2 = red_step2_fused(
-            params, cost[:, o:o + WS, :],
-            s1[..., o:o + WS], s2[..., o // 2:(o + WS) // 2], **kw)
+            params, cost_slab,
+            s1[..., o:o + WS], s2[..., o // 2:(o + WS) // 2], **slab_kw)
         lo, hi = a - o, b - o
         s1cores.append(r1[..., lo:hi])
         s2cores.append(r2[..., lo // 2:hi // 2])
@@ -738,6 +758,8 @@ def red_step2_reference(params, cost, s1, s2, *, up: bool, dtype):
 def _fused_fn(cfg):
     dtype = jnp.dtype(cfg[8])
     up = cfg[4]
+    cf_in = cfg[9]
+    Wimg = cfg[3]
 
     @jax.custom_vjp
     def f(params, cost, s1, s2):
@@ -748,10 +770,17 @@ def _fused_fn(cfg):
 
     def bwd(res, g):
         params, cost, s1, s2 = res
-        _, vjp = jax.vjp(
-            lambda p, c, a, b: red_step2_reference(p, c, a, b, up=up,
-                                                   dtype=dtype),
-            params, cost, s1, s2)
+
+        def ref_fn(p, c, a, b):
+            if cf_in:
+                # crop the pad columns + to NHWC; the vjp through this
+                # yields zero grads for the pad columns, matching the
+                # upstream kernel-handoff convention (pad cols are the
+                # image of a zero-pad, whose vjp is a crop)
+                c = jnp.transpose(c[:, :, :Wimg], (1, 2, 0))
+            return red_step2_reference(p, c, a, b, up=up, dtype=dtype)
+
+        _, vjp = jax.vjp(ref_fn, params, cost, s1, s2)
         return vjp(g)
 
     f.defvjp(fwd, bwd)
@@ -761,7 +790,7 @@ def _fused_fn(cfg):
 def red_step2_fused(
     params, cost: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray,
     *, up: bool, dtype=jnp.float32, precision: str = "bf16",
-    interpret: bool = False,
+    interpret: bool = False, cost_cf: bool = False, img_w: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused RedStep2: cost [H, W, Cin] NHWC, states channel-first
     (s1 [8, H, W], s2 [16, H/2, W/2]) -> (score, s1', s2').
@@ -775,12 +804,24 @@ def red_step2_fused(
     pad_width(W) (the kernel keeps their pad columns zero, matching
     flax's SAME zero padding); cost stays at the logical width and the
     score is returned cropped.
+
+    cost_cf: cost arrives CHANNEL-FIRST at the padded buffer width
+    ([Cin, H, pad_width(img_w)], pad columns exactly zero — the sweep
+    kernel's keep_pad_w handoff); img_w gives the true width and NO
+    relayout happens between the two kernels.
     """
-    H, Wimg, Cin = cost.shape
-    Wpad = pad_width(Wimg)
+    if cost_cf:
+        assert img_w is not None
+        Cin, H, Wbuf = cost.shape
+        Wimg = int(img_w)
+        Wpad = pad_width(Wimg)
+        assert Wbuf == Wpad, (cost.shape, Wimg, Wpad)
+    else:
+        H, Wimg, Cin = cost.shape
+        Wpad = pad_width(Wimg)
     assert s1.shape[-1] == Wpad, (s1.shape, Wimg, Wpad)
     T = _pick_strip(H, Wpad, Cin)
     assert T > 0, (H, Wpad)
     cfg = (Cin, H, Wpad, Wimg, bool(up), T, precision, bool(interpret),
-           jnp.dtype(dtype).name)
+           jnp.dtype(dtype).name, bool(cost_cf))
     return _fused_fn(cfg)(params, cost, s1, s2)

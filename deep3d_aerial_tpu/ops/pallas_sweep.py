@@ -17,10 +17,11 @@ as per-tile-row one-hot contractions on the MXU:
       out(v) = sum_r hat(y_src - row_r) * t_r      # 2-tap y lerp, VPU
     corr(k, tile) = mean_c(ref * out)              # fused product corr
 
-versus the naive one-hot scheme (ops/pallas_warp.py round 1) this is
-O(NR*C*WIN_W) instead of O(WIN_H*C*WIN_W) work per output pixel, and the
-window DMA is shared by ALL K planes of a chunk (refinement-stage windows
-are narrow, so the union footprint stays small).
+versus the naive one-hot scheme (the round-1 ops/pallas_warp.py kernel,
+retired in round 3 — x-interpolated every window row at every PIXEL) this
+is O(NR*C*WIN_W) instead of O(WIN_H*C*WIN_W) work per output pixel, and
+the window DMA is shared by ALL K planes of a chunk (refinement-stage
+windows are narrow, so the union footprint stays small).
 
 hat(d) = max(0, 1 - |d|) reproduces bilinear weights AND grid_sample
 'zeros' padding exactly: out-of-window taps simply don't exist and
@@ -29,7 +30,17 @@ escapes the window (or whose tile row spans > NR-2 source rows) fall to
 zero; `chunk_coverage` reports whether a chunk is fully covered so callers
 can fall back to the XLA gather path (ops/warp.py — also the oracle).
 
-Mosaic constraints encoded (see round-1 notes in ops/pallas_warp.py):
+Arbitrary image sizes: the wrappers lane-pad H to the tile height and W
+to a 128-lane multiple (256 via pad_to for the channel-first handoff to
+the fused RedStep2 kernel). Zero-padded SOURCE columns/rows are exactly
+grid_sample-'zeros' semantics, so sampling needs no masking; padded REF
+pixels (outputs that get cropped) are masked to x=y=-1e9 in both the
+coverage computation and the kernel so their garbage footprints can
+neither trip the coverage flag nor drag a tile row's ybase. This removes
+the round-2 W%128 applicability cliff at the reference operating point
+(stage widths 2752/1376/688, /root/reference/config.yaml:9-11).
+
+Mosaic constraints encoded (learned building the retired round-1 kernel):
 scalar-only SMEM loads, lane-collapse-only reshapes, window DMA origin
 aligned to 128 lanes (x) with the leading row dim (y) free, >=8-sublane
 output blocks via the 8-tile revisit pattern.
@@ -38,12 +49,26 @@ output blocks via the 8-tile revisit pattern.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_hw(a: jnp.ndarray, Hp: int, Wp: int, axes=(-2, -1)) -> jnp.ndarray:
+    """Zero-pad the two spatial axes (identified by `axes`) to (Hp, Wp)."""
+    pads = [(0, 0)] * a.ndim
+    pads[axes[0] % a.ndim] = (0, Hp - a.shape[axes[0]])
+    pads[axes[1] % a.ndim] = (0, Wp - a.shape[axes[1]])
+    if all(p == (0, 0) for p in pads):
+        return a
+    return jnp.pad(a, pads)
 
 
 def _sel_dot(rows2, SelX, precision):
@@ -82,7 +107,7 @@ def _sweep_corr_kernel(
     dma_sem,
     *,
     K: int, TH: int, TW: int, WIN_H: int, WIN_W: int, NR: int, C: int,
-    n_tiles_w: int, precision,
+    n_tiles_w: int, precision, ref_valid=None,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -106,6 +131,12 @@ def _sweep_corr_kernel(
     ref_t = ref_t_ref[...]  # [C, TH, TW]
     wxs = jax.lax.broadcasted_iota(
         jnp.int32, (WIN_W, 1), 0).astype(jnp.float32)
+    # padded-buffer REF pixels (cropped outputs) must not drag a tile
+    # row's ybase or sample anything: same -1e9 marking as _coords
+    valid = None
+    if ref_valid is not None:
+        hv, wv = ref_valid
+        valid = (ys_base < float(hv)) & (xs_base < float(wv))
 
     copy.wait()
     x0f = win_x0.astype(jnp.float32)
@@ -116,8 +147,9 @@ def _sweep_corr_kernel(
         py = (r[4] * xs_base + r[5] * ys_base + r[6]) * d + r[7]
         pz = (r[8] * xs_base + r[9] * ys_base + r[10]) * d + r[11]
         safe = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
-        x_src = jnp.where(pz > 1e-6, px / safe, -1e9)
-        y_src = jnp.where(pz > 1e-6, py / safe, -1e9)
+        ok = pz > 1e-6 if valid is None else (pz > 1e-6) & valid
+        x_src = jnp.where(ok, px / safe, -1e9)
+        y_src = jnp.where(ok, py / safe, -1e9)
 
         warped_rows = []
         for v in range(TH):
@@ -155,8 +187,12 @@ def _sweep_corr_kernel(
         )
 
 
-def _coords(rel_flat, depths, H, W):
-    """x_src, y_src [K, H, W] for depth planes [K, H, W] (JAX-side)."""
+def _coords(rel_flat, depths, H, W, ref_valid=None):
+    """x_src, y_src [K, H, W] for depth planes [K, H, W] (JAX-side).
+
+    ref_valid=(Hv, Wv) marks ref PAD pixels (rows >= Hv / cols >= Wv of a
+    lane-padded buffer; their outputs get cropped) as out-of-image
+    (-1e9) so they cannot affect window origins or the coverage flag."""
     gy, gx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
@@ -168,6 +204,11 @@ def _coords(rel_flat, depths, H, W):
     safe = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
     x = jnp.where(pz > 1e-6, px / safe, -1e9)
     y = jnp.where(pz > 1e-6, py / safe, -1e9)
+    if ref_valid is not None and tuple(ref_valid) != (H, W):
+        hv, wv = ref_valid
+        pad = (gy >= hv) | (gx >= wv)
+        x = jnp.where(pad[None], -1e9, x)
+        y = jnp.where(pad[None], -1e9, y)
     return x, y
 
 
@@ -175,16 +216,19 @@ def chunk_origins_and_coverage(
     rel_flat: jnp.ndarray,   # [12]
     depths: jnp.ndarray,     # [K, H, W]
     H: int, W: int, TH: int, TW: int, WIN_H: int, WIN_W: int, NR: int,
+    ref_valid=None,
 ):
     """Per-tile window origins covering ALL K planes + a global coverage
     flag (True = every in-image footprint is representable; False = some
     pixels would silently zero -> caller should use the XLA fallback).
 
     Origins: y0 free (leading DMA dim), x0 quantized to 128 lanes.
+    H, W are the (possibly lane-padded) buffer dims; ref_valid=(Hv, Wv)
+    excludes padded ref pixels (see _coords).
     """
     K = depths.shape[0]
     n_th, n_tw = H // TH, W // TW
-    x, y = _coords(rel_flat, depths, H, W)
+    x, y = _coords(rel_flat, depths, H, W, ref_valid)
     inb = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
 
     def tileize(a):  # [K, H, W] -> [K, n_th, n_tw, TH*TW]
@@ -255,20 +299,30 @@ def sweep_corr_chunk_pallas(
     corr[k] == mean_c(ref * bilinear_warp(src, plane k)) wherever the
     coverage flag is True (exact grid_sample-'zeros' semantics). `covered`
     is a traced bool; callers guard with lax.cond on it.
+
+    Any H, W: unaligned images run in zero-padded buffers (H to the tile
+    height, W to a 128-lane multiple) with the padded ref pixels masked
+    out of coverage/origins/sampling; the output is cropped back.
     """
-    H, W, C = src_feat.shape
+    Himg, Wimg, C = src_feat.shape
     K = depths.shape[0]
     TH, TW = tile
+    H, W = _round_up(Himg, TH), _round_up(max(Wimg, TW), TW)
+    if (H, W) != (Himg, Wimg):
+        ref_feat = _pad_hw(ref_feat, H, W, axes=(0, 1))
+        src_feat = _pad_hw(src_feat, H, W, axes=(0, 1))
+        depths = _pad_hw(depths, H, W, axes=(1, 2))
+    ref_valid = (Himg, Wimg) if (H, W) != (Himg, Wimg) else None
     WIN_H, WIN_W = min(window[0], H), min(window[1], W)
-    WIN_W = max(128, (WIN_W // 128) * 128) if W >= 128 else W
-    assert H % TH == 0 and W % TW == 0, (H, W, tile)
+    WIN_W = max(128, (WIN_W // 128) * 128)
     n_th, n_tw = H // TH, W // TW
     P = TH * TW
 
     rel_flat = jnp.asarray(rel, jnp.float32).reshape(-1)[:12]
     depths = jnp.asarray(depths, jnp.float32)
     origins, covered = chunk_origins_and_coverage(
-        rel_flat, depths, H, W, TH, TW, WIN_H, WIN_W, nr
+        rel_flat, depths, H, W, TH, TW, WIN_H, WIN_W, nr,
+        ref_valid=ref_valid,
     )
 
     src_t = jnp.transpose(src_feat.astype(jnp.float32), (0, 2, 1))  # [H,C,W]
@@ -277,7 +331,7 @@ def sweep_corr_chunk_pallas(
     kernel = functools.partial(
         _sweep_corr_kernel,
         K=K, TH=TH, TW=TW, WIN_H=WIN_H, WIN_W=WIN_W, NR=nr, C=C,
-        n_tiles_w=n_tw, precision=precision,
+        n_tiles_w=n_tw, precision=precision, ref_valid=ref_valid,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -316,7 +370,7 @@ def sweep_corr_chunk_pallas(
         .transpose(0, 1, 3, 2, 4)
         .reshape(K, H, W)
     )
-    return corr, covered
+    return corr[:, :Himg, :Wimg], covered
 
 
 def _sweep_cost_kernel(
@@ -332,6 +386,7 @@ def _sweep_cost_kernel(
     *,
     V: int, K: int, TH: int, TW: int, WIN_H: int, WIN_W: int, NR: int,
     C: int, n_tiles_w: int, n_tiles: int, mode: str, precision,
+    ref_valid=None,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -356,6 +411,10 @@ def _sweep_cost_kernel(
     wxs = jax.lax.broadcasted_iota(
         jnp.int32, (WIN_W, 1), 0).astype(jnp.float32)
     ref_t = ref_t_ref[...]  # [C, TH, TW]
+    valid = None
+    if ref_valid is not None:
+        hv, wv = ref_valid
+        valid = (ys_base < float(hv)) & (xs_base < float(wv))
 
     for cp in copies:
         cp.wait()
@@ -369,8 +428,9 @@ def _sweep_cost_kernel(
             py = (r[4] * xs_base + r[5] * ys_base + r[6]) * d + r[7]
             pz = (r[8] * xs_base + r[9] * ys_base + r[10]) * d + r[11]
             safe = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
-            x_src = jnp.where(pz > 1e-6, px / safe, -1e9)
-            y_src = jnp.where(pz > 1e-6, py / safe, -1e9)
+            ok = pz > 1e-6 if valid is None else (pz > 1e-6) & valid
+            x_src = jnp.where(ok, px / safe, -1e9)
+            y_src = jnp.where(ok, py / safe, -1e9)
             coords.append((x_src, y_src))
 
         rows_out = []
@@ -424,12 +484,51 @@ def _sweep_cost_kernel(
         out_ref[k, 0] = tile_cost.reshape(C, TH * TW)
 
 
-def sweep_cost_chunk_pallas(
+class SweepOperands(NamedTuple):
+    """Pre-transposed, pre-padded kernel operands for a whole sweep.
+
+    Built ONCE per stage (prepare_sweep_operands) and passed through the
+    depth scan as broadcast args — the round-2 device trace showed the
+    per-chunk src transpose + feats-slice relayout executing inside every
+    scan step (~1.7 ms/iter at stage 3, docs/PERF.md) because XLA does
+    not hoist large loop-invariant transposes out of while loops."""
+
+    ref_t: jnp.ndarray      # [C, Hp, Wp] f32 channel-first ref features
+    src_t: jnp.ndarray      # [V, Hp, C, Wp] f32 channel-middle src features
+    weights: jnp.ndarray    # [V, Hp, Wp] f32 view weights (zero in pads)
+    img_hw: Tuple[int, int]  # static true (H, W) before padding
+
+
+def prepare_sweep_operands(
     ref_feat: jnp.ndarray,    # [H, W, C]
     src_feats: jnp.ndarray,   # [V, H, W, C]
+    weights: Optional[jnp.ndarray] = None,  # [V, H, W]
+    tile: Tuple[int, int] = (8, 128),
+    pad_to: int = 128,
+) -> SweepOperands:
+    """Pad (H to tile height, W to a pad_to-lane multiple; 256 matches the
+    fused RedStep2 kernel's pad_width) and transpose into kernel layouts."""
+    V, Himg, Wimg, C = src_feats.shape
+    TH, TW = tile
+    lane = max(int(pad_to), TW)
+    H, W = _round_up(Himg, TH), _round_up(max(Wimg, lane), lane)
+    if weights is None:
+        weights = jnp.ones((V, Himg, Wimg), jnp.float32)
+    ref = _pad_hw(ref_feat, H, W, axes=(0, 1))
+    src = _pad_hw(src_feats, H, W, axes=(1, 2))
+    wts = _pad_hw(weights.astype(jnp.float32), H, W, axes=(1, 2))
+    return SweepOperands(
+        ref_t=jnp.transpose(ref.astype(jnp.float32), (2, 0, 1)),
+        src_t=jnp.transpose(src.astype(jnp.float32), (0, 1, 3, 2)),
+        weights=wts,
+        img_hw=(Himg, Wimg),
+    )
+
+
+def sweep_cost_chunk_prepared(
+    ops: SweepOperands,
     rels: jnp.ndarray,        # [V, 4, 4] / [V, 3, 4]
-    depths: jnp.ndarray,      # [K, H, W]
-    weights: Optional[jnp.ndarray] = None,  # [V, H, W] (corr mode)
+    depths: jnp.ndarray,      # [K, Himg, Wimg] (true-size depth planes)
     mode: str = "corr",       # 'corr' (AdaMVS weighted) | 'variance'
     tile: Tuple[int, int] = (8, 128),
     window: Tuple[int, int] = (32, 256),
@@ -437,15 +536,19 @@ def sweep_cost_chunk_pallas(
     precision: str = "f32x3",
     interpret: bool = False,
     out_layout: str = "khwc",  # 'khwc' | 'kchw' (channel-first)
+    keep_pad_w: bool = False,  # emit the padded width (pad cols exact zero)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """ALL-VIEW fused warp + cost aggregation -> ([K, H, W, C], covered).
+    """ALL-VIEW fused warp + cost aggregation -> (cost, covered).
 
-    out_layout='kchw' emits [K, C, H, W] instead: the kernel's raw output
-    is channel-major per tile, so channel-first needs only the SAME
-    single tile-stitch pass as NHWC while handing the fused RedStep2
-    kernel its native layout directly — the device trace showed the
-    NHWC->CHW relayout between the two kernels costing ~1.5 ms/iter at
-    stage 2 alone (docs/PERF.md).
+    out_layout='kchw' emits [K, C, H, W] instead of [K, H, W, C]: the
+    kernel's raw output is channel-major per tile, so channel-first needs
+    only the SAME single tile-stitch pass as NHWC while handing the fused
+    RedStep2 kernel its native layout directly — the device trace showed
+    the NHWC->CHW relayout between the two kernels costing ~1.5 ms/iter
+    at stage 2 alone (docs/PERF.md). With keep_pad_w the cost keeps the
+    padded buffer width with EXACTLY-zero pad columns (corr: weights pad
+    to 0 -> num 0; variance: ref and all samples 0) — the kernel handoff
+    convention (pad_width alignment via prepare's pad_to=256).
 
     mode='corr':     cost = sum_v w_v * (ref ⊙ warp_v) / (sum_v w_v + 1e-5)
                      (cascade.correlation_cost_plane semantics)
@@ -459,38 +562,41 @@ def sweep_cost_chunk_pallas(
     """
     from functools import partial
 
-    V, H, W, C = src_feats.shape
+    if out_layout not in ("khwc", "kchw"):
+        raise ValueError(f"unknown out_layout {out_layout!r}")
+    V, H, C, W = ops.src_t.shape
+    Himg, Wimg = ops.img_hw
     K = depths.shape[0]
     TH, TW = tile
+    if (H, W) != (Himg, Wimg):
+        depths = _pad_hw(depths, H, W, axes=(1, 2))
+    ref_valid = (Himg, Wimg) if (H, W) != (Himg, Wimg) else None
     WIN_H, WIN_W = min(window[0], H), min(window[1], W)
-    WIN_W = max(128, (WIN_W // 128) * 128) if W >= 128 else W
-    assert H % TH == 0 and W % TW == 0, (H, W, tile)
+    WIN_W = max(128, (WIN_W // 128) * 128)
     n_th, n_tw = H // TH, W // TW
     n_tiles = n_th * n_tw
     P = TH * TW
 
     rels_flat = jnp.asarray(rels, jnp.float32).reshape(V, -1)[:, :12]
     depths = jnp.asarray(depths, jnp.float32)
-    if weights is None:
-        weights = jnp.ones((V, H, W), jnp.float32)
 
     origins_l, covered = [], True
     for v in range(V):
         org_v, cov_v = chunk_origins_and_coverage(
-            rels_flat[v], depths, H, W, TH, TW, WIN_H, WIN_W, nr
+            rels_flat[v], depths, H, W, TH, TW, WIN_H, WIN_W, nr,
+            ref_valid=ref_valid,
         )
         origins_l.append(org_v)
         covered = jnp.logical_and(covered, cov_v) if v else cov_v
     origins = jnp.concatenate(origins_l, axis=0)  # [V*n_tiles, 2]
 
-    src_t = jnp.transpose(src_feats.astype(jnp.float32), (0, 1, 3, 2))
-    ref_t = jnp.transpose(ref_feat.astype(jnp.float32), (2, 0, 1))
+    src_t, ref_t, weights = ops.src_t, ops.ref_t, ops.weights
 
     kernel = partial(
         _sweep_cost_kernel,
         V=V, K=K, TH=TH, TW=TW, WIN_H=WIN_H, WIN_W=WIN_W, NR=nr, C=C,
         n_tiles_w=n_tw, n_tiles=n_tiles, mode=mode,
-        precision=precision,
+        precision=precision, ref_valid=ref_valid,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -524,12 +630,44 @@ def sweep_cost_chunk_pallas(
         interpret=interpret,
     )(origins, rels_flat, depths, ref_t, weights.astype(jnp.float32), src_t)
 
+    crop_w = W if keep_pad_w else Wimg
     tiles = flat.reshape(K, n_th, n_tw, C, TH, TW)
     if out_layout == "kchw":
         cost = tiles.transpose(0, 3, 1, 4, 2, 5).reshape(K, C, H, W)
+        cost = cost[:, :, :Himg, :crop_w]
     else:
         cost = tiles.transpose(0, 1, 4, 2, 5, 3).reshape(K, H, W, C)
+        cost = cost[:, :Himg, :crop_w, :]
     return cost, covered
+
+
+def sweep_cost_chunk_pallas(
+    ref_feat: jnp.ndarray,    # [H, W, C]
+    src_feats: jnp.ndarray,   # [V, H, W, C]
+    rels: jnp.ndarray,        # [V, 4, 4] / [V, 3, 4]
+    depths: jnp.ndarray,      # [K, H, W]
+    weights: Optional[jnp.ndarray] = None,  # [V, H, W] (corr mode)
+    mode: str = "corr",
+    tile: Tuple[int, int] = (8, 128),
+    window: Tuple[int, int] = (32, 256),
+    nr: int = 4,
+    precision: str = "f32x3",
+    interpret: bool = False,
+    out_layout: str = "khwc",
+    pad_to: int = 128,
+    keep_pad_w: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-shot convenience wrapper: prepare_sweep_operands (pad +
+    transpose into kernel layouts) + sweep_cost_chunk_prepared. Callers
+    that sweep many chunks over the same features (cascade.streaming_sweep)
+    should prepare ONCE outside their scan instead — see SweepOperands."""
+    ops = prepare_sweep_operands(ref_feat, src_feats, weights, tile=tile,
+                                 pad_to=pad_to)
+    return sweep_cost_chunk_prepared(
+        ops, rels, depths, mode=mode, tile=tile, window=window, nr=nr,
+        precision=precision, interpret=interpret, out_layout=out_layout,
+        keep_pad_w=keep_pad_w,
+    )
 
 
 def sweep_corr_chunk_reference(

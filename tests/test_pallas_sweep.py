@@ -126,3 +126,111 @@ def test_zero_padding_semantics(rng):
     # out-of-image zeros agree wherever oracle is exactly 0
     zero_mask = np.asarray(oracle) == 0.0
     assert np.all(np.abs(np.asarray(corr)[zero_mask]) < 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# multi-view fused cost kernel (corr / variance), padded unaligned shapes
+# ---------------------------------------------------------------------------
+
+from deep3d_aerial_tpu.models.cascade import _xla_chunk_costs
+from deep3d_aerial_tpu.ops.pallas_sweep import sweep_cost_chunk_pallas
+
+
+def _mv_scene(rng, H_, W_, V=3, C_=8, K_=4):
+    from deep3d_aerial_tpu.geometry.camera import Pose
+
+    cam = toy_camera(width=W_, height=H_, f=110.0)
+    R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    ref_pose = Pose(R_down, -R_down @ np.array([0.0, 0.0, 100.0]))
+    ref_P = proj_matrix(cam.K, ref_pose)
+    rels = []
+    for _ in range(V - 1):
+        c = np.array([4.0 * rng.uniform(0.5, 1.0),
+                      4.0 * rng.uniform(-0.5, 0.5), 100.0])
+        pose = Pose(R_down, -R_down @ c)
+        rels.append(np.asarray(relative_projection(
+            jnp.asarray(proj_matrix(cam.K, pose)), jnp.asarray(ref_P))))
+    ref = jnp.asarray(rng.standard_normal((H_, W_, C_)), jnp.float32)
+    srcs = jnp.asarray(rng.standard_normal((V - 1, H_, W_, C_)), jnp.float32)
+    depths = jnp.broadcast_to(
+        jnp.linspace(98.0, 102.0, K_)[:, None, None], (K_, H_, W_))
+    weights = jnp.asarray(
+        rng.uniform(0.1, 1.0, size=(V - 1, H_, W_)), jnp.float32)
+    return ref, srcs, jnp.asarray(np.stack(rels), jnp.float32), depths, weights
+
+
+@pytest.mark.parametrize("mode", ["corr", "variance"])
+@pytest.mark.parametrize("shape", [(32, 128), (24, 192), (20, 150)])
+def test_cost_chunk_matches_oracle_padded(rng, mode, shape):
+    """The fused all-view kernel matches the XLA gather oracle at aligned
+    AND unaligned shapes (W=192 has the production 2752%128=64 residue;
+    (20,150) pads both axes). Padded ref pixels are masked, output cropped."""
+    H_, W_ = shape
+    ref, srcs, rels, depths, weights = _mv_scene(rng, H_, W_)
+    cost, covered = sweep_cost_chunk_pallas(
+        ref, srcs, rels, depths,
+        weights=weights if mode == "corr" else None,
+        mode=mode, interpret=True,
+    )
+    assert bool(covered), "toy geometry should be fully covered"
+    oracle = _xla_chunk_costs(
+        "variance" if mode == "variance" else "correlation",
+        depths, ref, srcs, rels, weights)
+    assert cost.shape == oracle.shape == (depths.shape[0], H_, W_, 8)
+    np.testing.assert_allclose(
+        np.asarray(cost), np.asarray(oracle), rtol=2e-3, atol=1e-4)
+
+
+def test_cost_chunk_kchw_layout_and_pad_zero(rng):
+    """kchw == khwc.transpose; keep_pad_w pad columns are EXACTLY zero
+    (the channel-first RedStep2 handoff relies on it); unknown layouts
+    raise."""
+    H_, W_ = 16, 160
+    ref, srcs, rels, depths, weights = _mv_scene(rng, H_, W_)
+    khwc, cov1 = sweep_cost_chunk_pallas(
+        ref, srcs, rels, depths, weights=weights, mode="corr",
+        interpret=True, out_layout="khwc")
+    kchw, cov2 = sweep_cost_chunk_pallas(
+        ref, srcs, rels, depths, weights=weights, mode="corr",
+        interpret=True, out_layout="kchw")
+    assert bool(cov1) and bool(cov2)
+    np.testing.assert_array_equal(
+        np.asarray(kchw), np.asarray(khwc).transpose(0, 3, 1, 2))
+
+    padded, _ = sweep_cost_chunk_pallas(
+        ref, srcs, rels, depths, weights=weights, mode="corr",
+        interpret=True, out_layout="kchw", pad_to=256, keep_pad_w=True)
+    assert padded.shape[-1] == 256
+    np.testing.assert_array_equal(
+        np.asarray(padded[..., :W_]), np.asarray(kchw))
+    assert np.all(np.asarray(padded[..., W_:]) == 0.0)
+
+    with pytest.raises(ValueError):
+        sweep_cost_chunk_pallas(ref, srcs, rels, depths, out_layout="nope")
+
+
+def test_single_view_corr_padded(rng):
+    """Single-view kernel (pair branch) at an unaligned width."""
+    H_, W_ = 24, 144
+    ref, srcs, rels, depths, _ = _mv_scene(rng, H_, W_, V=2)
+    corr, covered = sweep_corr_chunk_pallas(
+        ref, srcs[0], rels[0], depths, interpret=True)
+    assert bool(covered)
+    oracle = sweep_corr_chunk_reference(ref, srcs[0], rels[0], depths)
+    assert corr.shape == oracle.shape == (depths.shape[0], H_, W_)
+    np.testing.assert_allclose(
+        np.asarray(corr), np.asarray(oracle), rtol=2e-3, atol=1e-4)
+
+
+def test_gating_accepts_production_stage_shapes():
+    """The round-2 cliff is gone: every reference production stage shape
+    (1856x2752 @ scale 1, /2, /4 — /root/reference/config.yaml:9-11) maps
+    to legal padded kernel geometry."""
+    from deep3d_aerial_tpu.ops.pallas_sweep import _round_up
+
+    for H_, W_ in [(1856, 2752), (928, 1376), (464, 688)]:
+        Hp, Wp = _round_up(H_, 8), _round_up(W_, 128)
+        assert Hp % 8 == 0 and Wp % 128 == 0 and Wp - W_ < 128
+        # and the 256-aligned red-handoff variant
+        Wp2 = _round_up(W_, 256)
+        assert Wp2 % 256 == 0 and Wp2 - W_ < 256
