@@ -13,9 +13,12 @@ DATA-DEPENDENT chain of steps (each step consumes a scalar produced by the
 previous one) closed by a single pre-compiled scalar fetch — the only
 honest clock through an async tunnel. Rate = (t_long - t_short) / (N - 1).
 
-vs_baseline anchors to the reference GPU path at ~50 s/image at full
-resolution (typical per-image time printed by predict.py on a
-2080Ti-class GPU; the repo publishes no aggregate), scaled by area.
+vs_baseline is an ASSUMPTION-ANCHORED estimate, not a measured ratio: the
+reference publishes no timing (BASELINE.md), so it anchors to an assumed
+~50 s/image full-res single-GPU rate (2080Ti-class, per-image time scale
+printed by predict.py), scaled by area. The JSON carries
+"vs_baseline_assumed": true so the number cannot be read as beating a
+measured reference.
 """
 
 import json
@@ -124,7 +127,10 @@ def main():
                    + ("_pallas" if warp_impl == "pallas" else "")),
         "value": round(maps_per_s, 4),
         "unit": "depth_maps/s/chip",
+        # anchored to an ASSUMED ~50 s/image full-res reference GPU rate
+        # (the reference publishes no timing — BASELINE.md), area-scaled
         "vs_baseline": round(maps_per_s / baseline_rate, 3),
+        "vs_baseline_assumed": True,
     }))
 
 

@@ -1,10 +1,12 @@
 """Mesh refinement — RefineMesh-stage equivalent (reference wraps the
 OpenMVS RefineMesh binary, createmesh.py:82-112).
 
-Round-1 scope: feature-preserving Taubin lambda/mu smoothing of vertex
-positions (removes fusion noise without the shrinkage of plain Laplacian),
-plus edge-collapse-free decimation by vertex clustering. The variational
-photo-consistency refinement (OpenMVS's core) is the planned C++ upgrade.
+Two layers: feature-preserving Taubin lambda/mu smoothing of vertex
+positions (removes fusion noise without the shrinkage of plain Laplacian)
+plus edge-collapse-free decimation by vertex clustering, and the
+variational photo-consistency refinement `photometric_refine` below
+(OpenMVS RefineMesh's core — gradient descent on a multi-view photo
+energy with a CSR segment-sum Laplacian, bucketed shapes for jit reuse).
 """
 
 from __future__ import annotations

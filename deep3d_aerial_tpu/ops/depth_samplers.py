@@ -62,7 +62,7 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 def resize_bilinear(x: jnp.ndarray, shape) -> jnp.ndarray:
     """Resize the last two axes to `shape` with bilinear half-pixel
     semantics. Identity and integer-factor upsamples take the
-    phase-decomposed slice-lerp path (models.blocks._upsample_axis_lerp —
+    phase-decomposed slice-lerp path (ops.resize.upsample_axis_lerp —
     exact match to jax.image.resize, without its dot_general lowering
     whose channel-minor relayout dominates inter-stage glue time,
     docs/PERF.md); everything else falls back to jax.image.resize."""
@@ -72,8 +72,8 @@ def resize_bilinear(x: jnp.ndarray, shape) -> jnp.ndarray:
     if (h, w) == (H, W):
         return x
     if H % h == 0 and W % w == 0 and H // h == W // w:
-        from ..models.blocks import _upsample_axis_lerp
+        from .resize import upsample_axis_lerp
 
         p = H // h
-        return _upsample_axis_lerp(_upsample_axis_lerp(x, p, -2), p, -1)
+        return upsample_axis_lerp(upsample_axis_lerp(x, p, -2), p, -1)
     return jax.image.resize(x, x.shape[:-2] + shape, method="bilinear")

@@ -6,8 +6,8 @@ transform src_P @ inv(ref_P), per-depth-plane pixel transfer, bilinear
 sampling with zero padding at exact pixel coordinates (align_corners=True).
 
 Layout is TPU-native NHWC ([H, W, C] unbatched); geometry runs in float32,
-features may be bfloat16. A fused Pallas kernel lives in
-`deep3d_aerial_tpu.ops.pallas_warp`; this module is the always-correct
+features may be bfloat16. The fused Pallas kernels live in
+`deep3d_aerial_tpu.ops.pallas_sweep`; this module is the always-correct
 XLA-gather fallback and the numerical oracle for kernel tests.
 """
 

@@ -64,6 +64,10 @@ class PipelineConfig:
     # depth map — the optional normal-aware fusion input
     # (reference fusion_3d_normal.py:191-195)
     save_normals: bool = False
+    # also export each depth map as an OpenMVS .dmap container (io.dmap —
+    # binary parity with /root/reference/IO/dmap_io.py:173 ExportDepthDataRaw)
+    # for direct OpenMVS DensifyPointCloud interop
+    save_dmap: bool = False
 
     # FUSION
     run_depth_fusion: bool = True
@@ -126,7 +130,7 @@ class PipelineConfig:
             "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
                            "model_type", "ndepths", "pretrain_weight",
                            "allow_random_weights", "display_depth",
-                           "warp_precision", "save_normals",
+                           "warp_precision", "save_normals", "save_dmap",
                            "warp_impl", "red_impl", "compute_dtype",
                            "infer_batch_size"],
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
@@ -177,6 +181,7 @@ class PipelineConfig:
                 "display_depth": self.display_depth,
                 "warp_precision": self.warp_precision,
                 "save_normals": self.save_normals,
+                "save_dmap": self.save_dmap,
             },
             "FUSION": {
                 "run_depth_fusion": self.run_depth_fusion,

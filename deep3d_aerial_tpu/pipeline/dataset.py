@@ -31,6 +31,7 @@ class EvalSample:
     depth_max: float
     ref_cam: tf.MVSCam  # output-side camera artifact
     ref_image_path: str
+    src_ids: tuple = ()  # source view ids (e.g. .dmap neighbor list)
 
 
 class EvalDataset:
@@ -118,6 +119,7 @@ class EvalDataset:
             depth_max=float(depth_max),
             ref_cam=ref_cam_out,
             ref_image_path=self.paths[ref_id],
+            src_ids=tuple(src_ids),
         )
 
     def __iter__(self) -> Iterator[EvalSample]:

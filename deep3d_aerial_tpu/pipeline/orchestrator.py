@@ -232,6 +232,29 @@ class AerialPipeline:
                     )
                 tf.write_mvs_cam(_join(self.mvs_path, f"{s.ref_name}.txt"),
                                  s.ref_cam)
+                if getattr(cfg, "save_dmap", False):
+                    # optional OpenMVS raw container for DensifyPointCloud
+                    # interop (reference IO/dmap_io.py:173)
+                    from ..io.dmap import DepthDataRaw, write_dmap
+
+                    cam = s.ref_cam
+                    R = cam.T_cw[:3, :3]
+                    C = -R.T @ cam.T_cw[:3, 3]
+                    write_dmap(
+                        _join(self.mvs_path, f"{s.ref_name}.dmap"),
+                        DepthDataRaw(
+                            image_file_name=s.ref_image_path,
+                            neighbor_ids=list(s.src_ids),
+                            image_size=(cam.height, cam.width),
+                            K=cam.K, R=R, C=C,
+                            d_min=float(s.depth_min),
+                            d_max=float(s.depth_max),
+                            depth=depth[k],
+                            normal=(normals[k] if normals is not None
+                                    else None),
+                            confidence=conf[k],
+                        ),
+                    )
                 if cfg.display_depth:
                     self._save_depth_preview(s.ref_name, depth[k], conf[k])
             print(f"[mvs] {[s.ref_name for s in samples[:len(idxs)]]}: "

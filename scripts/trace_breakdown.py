@@ -10,6 +10,11 @@ by category, and prints ms/iter. This is how the round-2 glue hunt found
 that 20% of the flagship model was XLA "data formatting" layout copies
 around the Pallas kernels (docs/PERF.md) — per-op long_names carry the
 HLO layouts, printed for the top copies.
+
+Caveat: container exclusion is a name-prefix heuristic (CONTAINERS
+below). Nested trace events wrapped by anything NOT matching those
+prefixes would be double-counted in the category sums — sanity-check new
+traces by comparing the category total against the whole-model ms/iter.
 """
 
 import collections

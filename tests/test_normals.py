@@ -67,3 +67,66 @@ def test_gradient_weights_low_at_edges():
     w = np.asarray(depth_gradient_weights(jnp.asarray(img)))
     assert w[8, 8] < 0.1  # at the step edge
     assert w[8, 2] > 0.9  # flat region
+
+
+def test_depth_from_normal_plane_fixed_point():
+    """A perfect plane (depth + analytic normals) is a fixed point of the
+    normal-guided propagation (reference compute_depth_by_normal,
+    compute_normals.py:84)."""
+    import jax.numpy as jnp
+
+    from deep3d_aerial_tpu.ops.normals import (
+        depth_from_normal,
+        normals_from_depth,
+    )
+
+    H, W = 24, 32
+    K = np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1.0]],
+                 np.float32)
+    K_inv = np.linalg.inv(K).astype(np.float32)
+    # slanted plane in camera coords: n . X = c  =>  depth = c / (ray . n)
+    n = np.array([0.2, -0.1, 1.0])
+    n = n / np.linalg.norm(n)
+    c = 100.0
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    ray = np.stack([(gx - K[0, 2]) / K[0, 0],
+                    (gy - K[1, 2]) / K[1, 1],
+                    np.ones_like(gx)], -1)
+    depth = (c / (ray @ n)).astype(np.float32)
+    normal = np.broadcast_to(n.astype(np.float32), (H, W, 3))
+    img = np.ones((H, W), np.float32)
+
+    out = depth_from_normal(jnp.asarray(depth), jnp.asarray(normal),
+                            jnp.asarray(K), jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(out), depth, rtol=1e-5)
+
+    # and the forward op recovers the plane normal in the interior
+    est = np.asarray(normals_from_depth(jnp.asarray(depth),
+                                        jnp.asarray(K_inv)))
+    interior = est[4:-4, 4:-4]
+    cos = np.abs(interior @ n)
+    assert (cos > 0.999).mean() > 0.95
+
+
+def test_depth_from_normal_denoises_plane():
+    """Propagation pulls noisy depth toward the local-plane consensus."""
+    import jax.numpy as jnp
+
+    from deep3d_aerial_tpu.ops.normals import depth_from_normal
+
+    rng = np.random.default_rng(0)
+    H, W = 24, 32
+    K = np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1.0]],
+                 np.float32)
+    depth = np.full((H, W), 100.0, np.float32)
+    noisy = depth + rng.normal(0, 0.5, size=(H, W)).astype(np.float32)
+    normal = np.broadcast_to(
+        np.array([0, 0, 1.0], np.float32), (H, W, 3))
+    img = np.ones((H, W), np.float32)
+    out = np.asarray(depth_from_normal(
+        jnp.asarray(noisy), jnp.asarray(normal), jnp.asarray(K),
+        jnp.asarray(img)))
+    err_in = np.abs(noisy - depth).mean()
+    err_out = np.abs(out - depth).mean()
+    assert err_out < 0.55 * err_in

@@ -163,6 +163,7 @@ def test_stage1_view_selection(pipeline, workspace):
 
 
 def test_stage2_dense_match(pipeline, workspace):
+    pipeline.cfg.save_dmap = True  # optional OpenMVS .dmap export
     pipeline.dense_match()
     mvs = workspace / "dense" / "MVS"
     pfms = [f for f in os.listdir(mvs) if f.endswith("_init.pfm")]
@@ -172,6 +173,17 @@ def test_stage2_dense_match(pipeline, workspace):
     assert np.isfinite(d).all()
     # depths near the hypothesis range (cameras at ~100 over terrain +-2)
     assert 80 < np.median(d) < 120
+
+    # .dmap sidecar: same depth payload, camera pose round-trips
+    from deep3d_aerial_tpu.io.dmap import read_dmap
+
+    name = pfms[0][: -len("_init.pfm")]
+    dm = read_dmap(mvs / f"{name}.dmap")
+    np.testing.assert_array_equal(dm.depth, d)
+    assert dm.confidence is not None and dm.confidence.shape == d.shape
+    assert len(dm.neighbor_ids) >= 1
+    assert dm.d_min < dm.d_max
+    pipeline.cfg.save_dmap = False
 
 
 def test_stage3_fusion(pipeline, workspace):
