@@ -131,6 +131,13 @@ class PhotoRefineConfig:
     gradient_step: float = 0.05   # --gradient-step (x mean edge length)
     regularity_weight: float = 0.2  # --regularity-weight (Laplacian pull)
     max_views: int = 8            # --max-views per vertex
+    # photo energy: 'zncc' = 1 - mean pairwise ZNCC of tangent-plane image
+    # patches across views (the OpenMVS RefineMesh energy family);
+    # 'variance' = per-vertex single-pixel color variance (round-2 energy,
+    # kept as the cheap option)
+    energy: str = "zncc"
+    patch_radius: int = 1         # ZNCC patch = (2r+1)^2 tangent taps
+    patch_scale: float = 1.0      # tap spacing x mean edge length
 
 
 def photometric_refine(
@@ -140,12 +147,18 @@ def photometric_refine(
     cfg: PhotoRefineConfig = PhotoRefineConfig(),
 ) -> np.ndarray:
     """Variational photo-consistency refinement (jit, TPU/CPU): move each
-    vertex along its normal to minimize the VARIANCE of the image colors
-    it projects to across the views that see it, with a Laplacian
-    regularity term (the gradient-descent essence of OpenMVS RefineMesh —
-    our redesign runs the energy in JAX instead of hand-coded C++ descent;
-    coarse-to-fine via `scales` progressively shrinks the step).
-    """
+    vertex along its normal down the gradient of a multi-view photo
+    energy with a Laplacian regularity term (the gradient-descent essence
+    of OpenMVS RefineMesh — our redesign runs the energy in JAX instead
+    of hand-coded C++ descent; coarse-to-fine via `scales` progressively
+    shrinks the step).
+
+    cfg.energy='zncc' (default): per vertex, a (2r+1)^2 patch of points on
+    the vertex's tangent plane is projected into every view; the energy is
+    1 - mean pairwise zero-normalized cross-correlation of the sampled
+    patches — OpenMVS's patch-consistency energy (exposure/bias invariant,
+    unlike raw color variance). 'variance' keeps the round-2 single-pixel
+    variance energy."""
     import jax
     import jax.numpy as jnp
 
@@ -213,30 +226,42 @@ def photometric_refine(
     Hh, Ww = imgs.shape[1:]
 
     faces_j = jnp.asarray(faces)
+    # tangent-plane patch taps for the ZNCC energy: (2r+1)^2 offsets in
+    # mean-edge units ((0, 0) first so 'variance' mode can reuse tap 0)
+    r = max(0, int(cfg.patch_radius))
+    grid = [(0.0, 0.0)] + [
+        (float(a), float(b))
+        for a in range(-r, r + 1) for b in range(-r, r + 1)
+        if (a, b) != (0, 0)
+    ]
+    taps = jnp.asarray(np.asarray(grid, np.float32)
+                       * (cfg.patch_scale * mean_edge))
     consts = (faces_j, nbr_j, rows_j, degj, connected, activej, Ks, Ts,
-              imgs, jnp.float32(n_real), jnp.float32(cfg.regularity_weight))
+              imgs, jnp.float32(n_real), jnp.float32(cfg.regularity_weight),
+              taps)
 
     v = jnp.asarray(v0)
     for s in range(cfg.scales):
         step = cfg.gradient_step * mean_edge * (0.5 ** s)
         for _ in range(cfg.iterations):
-            v = _refine_update(v, jnp.float32(step), *consts)
+            v = _refine_update(cfg.energy, v, jnp.float32(step), *consts)
     return np.asarray(v, np.float32)[:n_real]
 
 
 @functools.cache
-def _refine_update_jit():
+def _refine_update_jit(mode):
     import jax
 
-    return jax.jit(_refine_update_impl)
+    return jax.jit(functools.partial(_refine_update_impl, mode))
 
 
-def _refine_update(*args):
-    return _refine_update_jit()(*args)
+def _refine_update(mode, *args):
+    return _refine_update_jit(mode)(*args)
 
 
-def _refine_update_impl(v, step, faces_j, nbr_j, rows_j, degj, connected,
-                        activej, Ks, Ts, imgs, n_real_f, reg_w):
+def _refine_update_impl(mode, v, step, faces_j, nbr_j, rows_j, degj,
+                        connected, activej, Ks, Ts, imgs, n_real_f, reg_w,
+                        taps):
     """One photometric-refine gradient step. Module-level + jit so meshes
     that share a shape BUCKET reuse the compiled graph (per-mesh
     recompiles dominated multi-block wall time)."""
@@ -269,28 +294,72 @@ def _refine_update_impl(v, step, faces_j, nbr_j, rows_j, degj, connected,
         return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
                 + fy * ((1 - fx) * v10 + fx * v11))
 
-    def energy(v):
-        # project every vertex into every view (elementwise chain — no
-        # coordinate matmuls on TPU, see docs/PERF.md)
+    def project_sample(pts):
+        """pts [N, P, 3] world points -> samples [V, N, P], inb [V, N, P]
+        (elementwise projective chain — no coordinate matmuls on TPU,
+        see docs/PERF.md)."""
         def per_view(K, T, img):
             R, t = T[:3, :3], T[:3, 3]
             cam = jnp.stack(
-                [R[a, 0] * v[:, 0] + R[a, 1] * v[:, 1]
-                 + R[a, 2] * v[:, 2] + t[a] for a in range(3)], -1)
-            z = jnp.maximum(cam[:, 2], 1e-6)
-            x = K[0, 0] * cam[:, 0] / z + K[0, 2]
-            y = K[1, 1] * cam[:, 1] / z + K[1, 2]
+                [R[a, 0] * pts[..., 0] + R[a, 1] * pts[..., 1]
+                 + R[a, 2] * pts[..., 2] + t[a] for a in range(3)], -1)
+            z = jnp.maximum(cam[..., 2], 1e-6)
+            x = K[0, 0] * cam[..., 0] / z + K[0, 2]
+            y = K[1, 1] * cam[..., 1] / z + K[1, 2]
             inb = ((x >= 0) & (x <= Ww - 1) & (y >= 0) & (y <= Hh - 1)
-                   & (cam[:, 2] > 1e-6))
+                   & (cam[..., 2] > 1e-6))
             return sample(img, x, y), inb
 
-        cols, masks = jax.vmap(per_view)(Ks, Ts, imgs)  # [V, N]
-        w = masks.astype(jnp.float32)
-        cnt = jnp.maximum(w.sum(0), 1.0)
-        mean = (cols * w).sum(0) / cnt
-        var = ((cols - mean) ** 2 * w).sum(0) / cnt
-        # masked means: padded vertices must not dilute either term
-        photo = (jnp.where(w.sum(0) >= 2, var, 0.0) * activej).sum() / n_real_f
+        return jax.vmap(per_view)(Ks, Ts, imgs)
+
+    def tangent_frame(v):
+        """Per-vertex orthonormal tangent basis from (stop-gradient)
+        normals — the patch orientation is held fixed per step, as
+        OpenMVS holds its patch parameterization per iteration."""
+        nrm = jax.lax.stop_gradient(vertex_normals(v))
+        a = jnp.where(jnp.abs(nrm[:, :1]) < 0.9,
+                      jnp.array([[1.0, 0.0, 0.0]]),
+                      jnp.array([[0.0, 1.0, 0.0]]))
+        t1 = jnp.cross(nrm, a)
+        t1 = t1 / (jnp.linalg.norm(t1, axis=1, keepdims=True) + 1e-12)
+        t2 = jnp.cross(nrm, t1)
+        return t1, t2
+
+    def energy(v):
+        if mode == "zncc":
+            # 1 - mean pairwise ZNCC of tangent-plane patches (OpenMVS's
+            # patch-consistency energy: invariant to per-view gain/bias)
+            t1, t2 = tangent_frame(v)
+            pts = (v[:, None, :]
+                   + taps[None, :, 0:1] * t1[:, None, :]
+                   + taps[None, :, 1:2] * t2[:, None, :])  # [N, P, 3]
+            cols, inb = project_sample(pts)  # [V, N, P]
+            w = jnp.all(inb, axis=-1).astype(jnp.float32)  # [V, N]
+            P = cols.shape[-1]
+            mu = cols.mean(-1, keepdims=True)
+            # eps INSIDE the sqrt: d/dx sqrt(x) blows up at the perfectly
+            # flat patches a checkered/untextured surface produces
+            sd = jnp.sqrt(((cols - mu) ** 2).mean(-1, keepdims=True) + 1e-6)
+            norm = (cols - mu) / sd  # [V, N, P]
+            norm = norm * w[..., None]
+            cnt = jnp.maximum(w.sum(0), 1.0)  # [N]
+            # mean pairwise zncc = (|sum_v p_v|^2 - sum_v |p_v|^2) /
+            #                      (P * cnt * (cnt - 1))
+            ssum = (norm.sum(0) ** 2).sum(-1)
+            self_ = (norm ** 2).sum(-1).sum(0)
+            denom = jnp.maximum(cnt * (cnt - 1.0), 1.0) * P
+            zncc = (ssum - self_) / denom
+            score = jnp.where(w.sum(0) >= 2, 1.0 - zncc, 0.0)
+            photo = (score * activej).sum() / n_real_f
+        else:
+            cols, inb = project_sample(v[:, None, :])
+            cols = cols[..., 0]
+            w = inb[..., 0].astype(jnp.float32)  # [V, N]
+            cnt = jnp.maximum(w.sum(0), 1.0)
+            mean = (cols * w).sum(0) / cnt
+            var = ((cols - mean) ** 2 * w).sum(0) / cnt
+            photo = (jnp.where(w.sum(0) >= 2, var, 0.0)
+                     * activej).sum() / n_real_f
         nbr_sum = jax.ops.segment_sum(v[nbr_j], rows_j, num_segments=n)
         lap = (nbr_sum / degj[:, None] - v) * connected
         reg = ((lap ** 2).sum(-1) * activej).sum() / n_real_f

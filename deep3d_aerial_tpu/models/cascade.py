@@ -577,13 +577,14 @@ def streaming_sweep(
     if weights is None:
         weights = jnp.ones((src_feats.shape[0], H, W), jnp.float32)
 
-    # Kernel path: pad + transpose the sweep operands ONCE here (outside
-    # the scan — XLA does not hoist large loop-invariant transposes out of
-    # while loops, docs/PERF.md), and when the regularizer is the fused
-    # RedStep2 kernel, hand costs over channel-first at its buffer width
-    # (prepare pad_to=256 == pallas_red.pad_width alignment).
+    # Optional A/B paths (measured NEGATIVE at 384x512 — docs/PERF.md
+    # round-3 A/B: legacy 19.23, prepared 18.84, prepared+cf 17.40
+    # maps/s — XLA already handles the in-loop transposes well, so both
+    # stay OFF by default): SWEEP_PREPARED=1 pads + transposes the sweep
+    # operands once outside the scan; SWEEP_CF=1 additionally hands costs
+    # to the fused RedStep2 kernel channel-first at its buffer width.
     prepared = (warp_impl == "pallas" and _pallas_tile_ok(H, W)
-                and os.environ.get("SWEEP_PREPARED", "1") == "1")
+                and os.environ.get("SWEEP_PREPARED", "0") == "1")
     out_cf = (prepared and getattr(reg, "impl", "flax") == "pallas"
               and os.environ.get("SWEEP_CF", "1") == "1")
     if prepared:

@@ -88,24 +88,88 @@ def run_host(
                        fusion_num=config.fusion_num)
     mine = plans[host_id]
 
-    # stage 2: dense matching for OWNED views only
+    # views each of MY blocks needs (refs + their fusion sources): a block
+    # becomes fusable the moment these are published — no global barrier
+    block_views = {}
+    for bi in mine.block_indices:
+        req = set()
+        for r in blocks[bi][1]:
+            req.add(r)
+            req.update(list(pairs.get(r, []))[:config.fusion_num])
+        block_views[bi] = req
+
+    # global view priority = earliest block (ANY host's) that needs the
+    # view: every owner produces early-block views first, so early blocks
+    # become fusable while later inference is still running (otherwise a
+    # block's views land spread across each owner's whole run and fusion
+    # never overlaps — measured overlap 0.0 with id-order inference)
+    view_prio = {}
+    for bi, (_, refs) in enumerate(blocks):
+        req = set()
+        for r in refs:
+            req.add(r)
+            req.update(list(pairs.get(r, []))[:config.fusion_num])
+        for v in req:
+            view_prio[v] = min(view_prio.get(v, bi), bi)
+    owned_order = sorted(mine.owned_views,
+                         key=lambda v: (view_prio.get(v, 1 << 30), v))
+
+    def publish(ref_id):
+        open(_marker(workspace, f"view_{ref_id}.done"), "w").write("ok")
+
+    # stage 3 runs CONCURRENTLY with stage 2: a fusion worker thread fuses
+    # each assigned block as soon as its views land (local publishes
+    # overlap remaining inference; remote fetches overlap other hosts'
+    # inference). jit'd fusion releases the GIL during execution.
+    import threading
+
+    fuse_times = {}
+    fuse_err = []
+
+    def fusion_worker():
+        try:
+            pending = dict(block_views)
+            while pending:
+                ready = [bi for bi, req in pending.items()
+                         if all(os.path.exists(
+                             _marker(workspace, f"view_{v}.done"))
+                             for v in req)]
+                if not ready:
+                    time.sleep(0.2)
+                    continue
+                for bi in sorted(ready):
+                    pending.pop(bi)
+                    t0 = time.time()
+                    if config.run_depth_fusion:
+                        pipe.fuse_depth_map(block_indices=[bi])
+                    fuse_times[bi] = time.time() - t0
+        except Exception as e:  # surfaced after join
+            fuse_err.append(e)
+
+    fuser = threading.Thread(target=fusion_worker, daemon=True)
+    fuser.start()
+
+    # stage 2: dense matching for OWNED views only, publishing per view
     t_mvs0 = time.time()
     n_owned = len(mine.owned_views)
+    stub_s = float(os.environ.get("MULTIHOST_STUB_SECONDS", "0") or 0)
     if config.run_mvs:
-        pipe.dense_match(view_filter=mine.owned_views)
+        if stub_s > 0:
+            _stub_dense_match(pipe, owned_order, stub_s, publish)
+        else:
+            pipe.dense_match(view_filter=mine.owned_views,
+                             view_order=owned_order,
+                             on_view_done=publish)
+    else:
+        for v in owned_order:
+            publish(v)
     t_mvs = time.time() - t_mvs0
     open(_marker(workspace, f"mvs_host{host_id}.done"), "w").write("ok")
 
-    # exchange barrier: wait until every owner has published its views
-    _wait_for([_marker(workspace, f"mvs_host{h}.done")
-               for h in range(n_hosts)])
-
-    # stage 3: fuse assigned blocks (reads fetched views from the shared
-    # workspace — the DCN exchange stand-in)
-    t_fuse0 = time.time()
-    if config.run_depth_fusion:
-        pipe.fuse_depth_map(block_indices=mine.block_indices)
-    t_fuse = time.time() - t_fuse0
+    fuser.join(timeout=1800)
+    if fuse_err:
+        raise fuse_err[0]
+    t_end = time.time()
 
     record = {
         "host_id": host_id,
@@ -115,13 +179,47 @@ def run_host(
         "fetched_views": {str(k): v for k, v in mine.fetch_views.items()},
         "n_depth_maps": n_owned,
         "mvs_seconds": t_mvs,
-        "fuse_seconds": t_fuse,
-        "total_seconds": time.time() - t_start,
+        "fuse_seconds": sum(fuse_times.values()),
+        "overlap_seconds": max(0.0, t_mvs + sum(fuse_times.values())
+                               - (t_end - t_start)),
+        "total_seconds": t_end - t_start,
         "maps_per_s": (n_owned / t_mvs) if t_mvs > 0 and n_owned else 0.0,
     }
     with open(_marker(workspace, f"host{host_id}.json"), "w") as f:
         json.dump(record, f, indent=1)
     return record
+
+
+def _stub_dense_match(pipe, owned_views, seconds_per_map, publish):
+    """Deterministic compute stand-in: per owned view, sleep a fixed
+    `seconds_per_map` then write a synthetic mid-range depth plane + full
+    confidence (real artifact path, real cam txt). Makes per-map cost
+    constant across hosts so N-host runs measure STRUCTURAL efficiency
+    (plan imbalance + exchange + barrier), not CPU cache contention
+    (docs/MULTIHOST.md round-2 confound)."""
+    import numpy as np
+
+    from ..io import text_formats as tf
+    from ..io.pfm import write_pfm
+    from ..pipeline.dataset import EvalDataset
+
+    cfg = pipe.cfg
+    ds = EvalDataset(pipe.export_path, view_num=cfg.view_num,
+                     num_depth=cfg.num_depth, resize_scale=cfg.image_scale,
+                     max_h=cfg.max_h, max_w=cfg.max_w)
+    idx_by_ref = {s[0]: i for i, s in enumerate(ds.samples)}
+    for ref_id in owned_views:
+        s = ds.build(idx_by_ref[ref_id])
+        time.sleep(seconds_per_map)
+        H, W = s.imgs.shape[1:3]
+        mid = 0.5 * (s.depth_min + s.depth_max)
+        write_pfm(os.path.join(pipe.mvs_path, f"{s.ref_name}_init.pfm"),
+                  np.full((H, W), mid, np.float32))
+        write_pfm(os.path.join(pipe.mvs_path, f"{s.ref_name}_prob.pfm"),
+                  np.ones((H, W), np.float32))
+        tf.write_mvs_cam(os.path.join(pipe.mvs_path, f"{s.ref_name}.txt"),
+                         s.ref_cam)
+        publish(ref_id)
 
 
 def launch_local(workspace: str, config_path: str, n_hosts: int,

@@ -111,9 +111,15 @@ class AerialPipeline:
         tf.write_border(_join(self.export_path, "scene_border.txt"), border)
 
     # ---------------- stage 2: dense matching -------------------------
-    def dense_match(self, params=None, view_filter=None) -> None:
+    def dense_match(self, params=None, view_filter=None,
+                    on_view_done=None, view_order=None) -> None:
         """Infer + write depth maps. `view_filter`: optional set of ref image
-        ids to process (multi-host ownership — parallel/multihost plans)."""
+        ids to process (multi-host ownership — parallel/multihost plans).
+        `on_view_done(ref_id)`: called after a view's artifacts are fully
+        written (multi-host per-view publish markers, enabling fusion of a
+        block the moment its views land instead of a global barrier).
+        `view_order`: optional ref-id ordering (block-priority order so
+        early blocks become fusable while inference continues)."""
         cfg = self.cfg
         import jax
         import jax.numpy as jnp
@@ -132,6 +138,9 @@ class AerialPipeline:
         )
         if view_filter is not None:
             ds.samples = [s for s in ds.samples if s[0] in view_filter]
+        if view_order is not None:
+            rank = {v: i for i, v in enumerate(view_order)}
+            ds.samples.sort(key=lambda s: rank.get(s[0], 1 << 30))
         if len(ds) == 0:
             return
 
@@ -257,6 +266,8 @@ class AerialPipeline:
                     )
                 if cfg.display_depth:
                     self._save_depth_preview(s.ref_name, depth[k], conf[k])
+                if on_view_done is not None:
+                    on_view_done(s.ref_id)
             print(f"[mvs] {[s.ref_name for s in samples[:len(idxs)]]}: "
                   f"{time.time() - t0:.2f}s")
         loader.shutdown()
@@ -302,75 +313,24 @@ class AerialPipeline:
         )
 
     # ---------------- stage 3: fusion ---------------------------------
+    def fusion_session(self) -> "FusionSession":
+        """Create a fusion session: lazy per-view artifact loading + the
+        in-memory consumption mask persisting across fuse_block calls
+        (redesign of the reference's tmp/ cross-view mutation,
+        fusion_3d_normal.py:417-511). Lets multi-host drivers fuse blocks
+        one at a time — the moment each block's views land — without
+        losing cross-block dedup within the host."""
+        return FusionSession(self)
+
     def fuse_depth_map(self, block_indices: Optional[List[int]] = None) -> List[str]:
-        cfg = self.cfg
-        fusion = DepthFusion(FusionConfig(
-            fusion_num=cfg.fusion_num,
-            min_geo_consist=cfg.geo_consist_num,
-            photometric_threshold=cfg.photomatric_threshold,
-            position_threshold=cfg.position_threshold,
-            depth_threshold=cfg.depth_threshold,
-            normal_threshold_deg=cfg.normal_threshold,
-            pc_format=cfg.pc_format,
-        ))
-
-        _, names = tf.read_image_paths(_join(self.export_path, "image_path.txt"))
-        pairs = tf.read_view_pairs(_join(self.export_path, "viewpair.txt"))
-        blocks = tf.read_blocks(_join(self.export_path, "blocks.txt"))
-        name_of = {i: os.path.splitext(n)[0] for i, n in names.items()}
-
-        # load every produced view once
-        views: Dict[str, ViewData] = {}
-        for vid, name in name_of.items():
-            dpath = _join(self.mvs_path, f"{name}_init.pfm")
-            cpath = _join(self.mvs_path, f"{name}.txt")
-            if not (os.path.exists(dpath) and os.path.exists(cpath)):
-                continue
-            cam = tf.read_mvs_cam(cpath)
-            depth = read_pfm(dpath)[0]
-            ppath = _join(self.mvs_path, f"{name}_prob.pfm")
-            prob = read_pfm(ppath)[0] if os.path.exists(ppath) else None
-            npath = _join(self.mvs_path, f"{name}_normal.pfm")
-            normal = None
-            if os.path.exists(npath):
-                normal = read_pfm(npath)[0] * 2.0 - 1.0
-            img = None
-            if cam.image_path and os.path.exists(cam.image_path):
-                from PIL import Image
-
-                im = Image.open(cam.image_path).convert("RGB")
-                if im.size != (depth.shape[1], depth.shape[0]):
-                    im = im.resize((depth.shape[1], depth.shape[0]))
-                img = np.asarray(im, np.float32) / 255.0
-            views[name] = ViewData(
-                name=name, image_id=cam.image_id,
-                geom=ViewGeometry.create(cam.K, cam.T_cw),
-                depth=depth, prob=prob, normal_cam=normal, image=img,
-            )
-
-        pair_of = {ref: [s for s, _ in plist] for ref, plist in pairs}
-
+        session = self.fusion_session()
         results = []
-        for bi, (bbx, refs) in enumerate(blocks):
+        for bi in range(len(session.blocks)):
             if block_indices is not None and bi not in block_indices:
                 continue
-            view_list = []
-            for r in refs:
-                if r in name_of and name_of[r] in views and r in pair_of:
-                    srcs = [name_of[s] for s in pair_of[r] if s in name_of]
-                    view_list.append((name_of[r], srcs))
-            if not view_list:
-                continue
-            fused = fusion.fuse_block(views, view_list, scene_range=bbx)
-            scene = f"scene_{bi}"
-            out_ply = _join(self.fusion_path, f"{scene}.ply")
-            write_ply(out_ply, fused.xyz, fused.normals, fused.colors)
-            tf.write_border(_join(self.fusion_path, f"{scene}.txt"), bbx)
-            self._write_mvs_scene(
-                _join(self.fusion_path, f"{scene}.mvs"), views, fused
-            )
-            results.append(out_ply)
-            print(f"[fusion] {scene}: {fused.xyz.shape[0]} points")
+            out = session.fuse_block_index(bi)
+            if out:
+                results.append(out)
         return results
 
     @staticmethod
@@ -666,3 +626,100 @@ class AerialPipeline:
             fn()
             print(f"[pipeline] {label}: {(time.time() - t0) / 60.0:.2f} min")
         self.move_production()
+
+
+class FusionSession:
+    """Stateful fusion over scene blocks with lazy view loading.
+
+    Views are read from disk on FIRST use (so a multi-host fusion worker
+    can start on a block as soon as its views are published, while other
+    views are still being inferred elsewhere), and the loaded ViewData
+    dict is shared across fuse_block calls — the consumption-mask dedup
+    therefore persists across blocks exactly as in the one-shot
+    fuse_depth_map (reference semantics: the tmp/ cross-view depth
+    invalidation, fusion_3d_normal.py:417-511)."""
+
+    def __init__(self, pipe: AerialPipeline):
+        cfg = pipe.cfg
+        self.pipe = pipe
+        self.fusion = DepthFusion(FusionConfig(
+            fusion_num=cfg.fusion_num,
+            min_geo_consist=cfg.geo_consist_num,
+            photometric_threshold=cfg.photomatric_threshold,
+            position_threshold=cfg.position_threshold,
+            depth_threshold=cfg.depth_threshold,
+            normal_threshold_deg=cfg.normal_threshold,
+            pc_format=cfg.pc_format,
+        ))
+        _, names = tf.read_image_paths(
+            _join(pipe.export_path, "image_path.txt"))
+        pairs = tf.read_view_pairs(_join(pipe.export_path, "viewpair.txt"))
+        self.blocks = tf.read_blocks(_join(pipe.export_path, "blocks.txt"))
+        self.name_of = {i: os.path.splitext(n)[0] for i, n in names.items()}
+        self.pair_of = {ref: [s for s, _ in plist] for ref, plist in pairs}
+        self.views: Dict[str, ViewData] = {}
+        self._missing: set = set()
+
+    def _get_view(self, name: str) -> Optional[ViewData]:
+        if name in self.views:
+            return self.views[name]
+        if name in self._missing:
+            return None
+        pipe = self.pipe
+        dpath = _join(pipe.mvs_path, f"{name}_init.pfm")
+        cpath = _join(pipe.mvs_path, f"{name}.txt")
+        if not (os.path.exists(dpath) and os.path.exists(cpath)):
+            self._missing.add(name)
+            return None
+        cam = tf.read_mvs_cam(cpath)
+        depth = read_pfm(dpath)[0]
+        ppath = _join(pipe.mvs_path, f"{name}_prob.pfm")
+        prob = read_pfm(ppath)[0] if os.path.exists(ppath) else None
+        npath = _join(pipe.mvs_path, f"{name}_normal.pfm")
+        normal = None
+        if os.path.exists(npath):
+            normal = read_pfm(npath)[0] * 2.0 - 1.0
+        img = None
+        if cam.image_path and os.path.exists(cam.image_path):
+            from PIL import Image
+
+            im = Image.open(cam.image_path).convert("RGB")
+            if im.size != (depth.shape[1], depth.shape[0]):
+                im = im.resize((depth.shape[1], depth.shape[0]))
+            img = np.asarray(im, np.float32) / 255.0
+        self.views[name] = ViewData(
+            name=name, image_id=cam.image_id,
+            geom=ViewGeometry.create(cam.K, cam.T_cw),
+            depth=depth, prob=prob, normal_cam=normal, image=img,
+        )
+        return self.views[name]
+
+    def fuse_block_index(self, bi: int) -> Optional[str]:
+        """Fuse one scene block -> fused PLY path (None if it has no
+        available ref views)."""
+        pipe = self.pipe
+        bbx, refs = self.blocks[bi]
+        view_list = []
+        for r in refs:
+            if r not in self.name_of or r not in self.pair_of:
+                continue
+            rname = self.name_of[r]
+            if self._get_view(rname) is None:
+                continue
+            srcs = []
+            for s in self.pair_of[r]:
+                if s in self.name_of and self._get_view(self.name_of[s]):
+                    srcs.append(self.name_of[s])
+            view_list.append((rname, srcs))
+        if not view_list:
+            return None
+        fused = self.fusion.fuse_block(self.views, view_list,
+                                       scene_range=bbx)
+        scene = f"scene_{bi}"
+        out_ply = _join(pipe.fusion_path, f"{scene}.ply")
+        write_ply(out_ply, fused.xyz, fused.normals, fused.colors)
+        tf.write_border(_join(pipe.fusion_path, f"{scene}.txt"), bbx)
+        pipe._write_mvs_scene(
+            _join(pipe.fusion_path, f"{scene}.mvs"), self.views, fused)
+        print(f"[fusion] {scene}: {fused.xyz.shape[0]} points")
+        return out_ply

@@ -3,10 +3,19 @@
 N worker processes on one machine are the honest local stand-in for N
 hosts (no multi-host TPU hardware on this rig); the exchange medium is the
 shared workspace filesystem, standing in for the DCN depth-map exchange.
-Run twice per N: the first pass warms the shared XLA compile cache so the
-second pass measures steady-state throughput. Results -> MULTIHOST.md.
+Results -> docs/MULTIHOST.md.
 
-Usage: python scripts/bench_multihost.py [max_hosts]
+Two modes:
+  * real (default): tiny casmvsnet inference per map. On a shared-memory
+    box this confounds scaling with cache/bandwidth contention
+    (round-2 finding) — each worker gets a fixed taskset CPU share.
+  * --stub T: each depth map costs a FIXED T-second sleep (synthetic
+    plane artifacts, real files + fusion). Per-map cost is then constant
+    by construction, so N-host runs isolate the STRUCTURAL costs — plan
+    imbalance, per-view exchange, fusion (overlapped with inference by
+    the eager per-block fusion worker).
+
+Usage: python scripts/bench_multihost.py [max_hosts] [--stub SECONDS]
 """
 
 import json
@@ -15,29 +24,44 @@ import shutil
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    max_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:]]
+    stub = 0.0
+    if "--stub" in args:
+        i = args.index("--stub")
+        stub = float(args[i + 1])
+        del args[i:i + 2]
+    max_hosts = int(args[0]) if args else 2
+
     from pathlib import Path
 
     from tests.test_pipeline import build_synthetic_workspace
     from deep3d_aerial_tpu.pipeline.config import PipelineConfig
     from deep3d_aerial_tpu.parallel.multihost_driver import launch_local
 
-    base = Path("/tmp/mh_bench")
+    if stub > 0:
+        os.environ["MULTIHOST_STUB_SECONDS"] = str(stub)
+
+    base = Path("/tmp/mh_bench" + ("_stub" if stub else ""))
     results = {}
-    for n in [1] + [h for h in (2, 4) if h <= max_hosts]:
-        for attempt in ("warm", "timed"):
+    hosts_list = [1] + [h for h in (2, 4, 8) if h <= max_hosts]
+    attempts = ("timed",) if stub else ("warm", "timed")
+    for n in hosts_list:
+        for attempt in attempts:
             ws = base / f"ws_n{n}_{attempt}"
             if ws.exists():
                 shutil.rmtree(ws)
-            build_synthetic_workspace(ws, n_grid=5)
+            # 7x7 camera grid + small blocks -> >= 8 scene blocks, so the
+            # block->host axis actually has work for 8 hosts
+            build_synthetic_workspace(ws, n_grid=7 if stub else 5)
             cfg = PipelineConfig(
                 image_w=96, image_h=64, image_scale=1.0,
-                scene_block_size=[40.0, 40.0, 120.0], block_overlap=2.0,
+                scene_block_size=([10.0, 10.0, 120.0] if stub
+                                  else [40.0, 40.0, 120.0]),
+                block_overlap=2.0,
                 view_num=3, num_depth=32, min_interval=0.5,
                 model_type="casmvsnet", allow_random_weights=True,
                 fusion_num=4, geo_consist_num=2, photomatric_threshold=0.0,
@@ -45,24 +69,45 @@ def main():
                 normal_threshold=180.0,
                 run_create_mesh=False, run_create_dsm=False,
             )
+            if stub:
+                # pre-run the one-time global view selection so the N-host
+                # measurement isolates the PARALLEL stages (MVS + fusion);
+                # selection is seconds against production hours of MVS
+                from deep3d_aerial_tpu.pipeline.orchestrator import (
+                    AerialPipeline,
+                )
+
+                AerialPipeline(str(ws), cfg).select_view()
+                cfg.run_view_selection = False
             cfg_path = ws / "cfg.yaml"
             cfg.to_yaml(cfg_path)
-            # fixed 2 CPUs per "host" so 1-vs-N measures scaling, not core
-            # contention (this rig has 4 cores)
-            agg = launch_local(str(ws), str(cfg_path), n, cpus_per_host=2)
+            # real mode: fixed 2 CPUs per "host" so 1-vs-N measures
+            # scaling, not core contention (4-core rig). Stub mode: sleep
+            # costs nothing, no pinning needed.
+            agg = launch_local(str(ws), str(cfg_path), n,
+                               cpus_per_host=0 if stub else 2)
         results[n] = agg
+        hosts = agg["hosts"]
         print(json.dumps({
             "n_hosts": n,
             "depth_maps": agg["total_depth_maps"],
             "wall_s": round(agg["wall_seconds"], 2),
             "maps_per_s": round(agg["agg_maps_per_s"], 3),
+            "per_host_maps": [h["n_depth_maps"] for h in hosts],
+            "overlap_s": [round(h.get("overlap_seconds", 0), 2)
+                          for h in hosts],
         }), flush=True)
 
     base_rate = results[1]["agg_maps_per_s"]
+    summary = []
     for n, agg in results.items():
         eff = agg["agg_maps_per_s"] / (base_rate * n) if base_rate else 0
-        print(json.dumps({"n_hosts": n,
-                          "scaling_efficiency": round(eff, 3)}))
+        # structural bound from the plan imbalance alone
+        per_host = [h["n_depth_maps"] for h in agg["hosts"]]
+        imb = (sum(per_host) / len(per_host)) / max(per_host) if per_host else 0
+        summary.append({"n_hosts": n, "scaling_efficiency": round(eff, 3),
+                        "imbalance_bound": round(imb, 3)})
+        print(json.dumps(summary[-1]))
 
 
 if __name__ == "__main__":

@@ -137,6 +137,12 @@ def main():
     ndepths = tuple(int(x) for x in
                     os.environ.get("TS_NDEPTHS", "16,8,8").split(","))
     num_depth = int(os.environ.get("TS_NUM_DEPTH", "64"))
+    # compute path: the fused kernels carry custom VJPs (XLA-formulation
+    # backward), so training takes the kernel forward throughput with
+    # exact gradients — required at the reference-scale operating point
+    warp_impl = os.environ.get("TS_WARP", "xla")
+    red_impl = os.environ.get("TS_RED", "flax")
+    depth_shards = int(os.environ.get("TS_SHARDS", "1"))
 
     import jax
 
@@ -188,7 +194,13 @@ def main():
     rngs = [s["depth_max"] - s["depth_min"] for s in val_s]
     interval = float(np.mean(rngs)) / num_depth
 
-    model = build_model(model_name, ndepths=ndepths, num_depth=num_depth)
+    extra = {"warp_impl": warp_impl}
+    if model_name in ("adamvs", "msrednet"):
+        extra["depth_shards"] = depth_shards
+    if model_name == "adamvs":
+        extra["red_impl"] = red_impl
+    model = build_model(model_name, ndepths=ndepths, num_depth=num_depth,
+                        **extra)
     ckpt_dir = os.path.abspath(
         os.path.join(os.path.dirname(__file__), "..", "checkpoints",
                      os.environ.get("TS_CKPT", f"synthetic_{model_name}")))

@@ -51,6 +51,7 @@ def _scene(rng):
 @pytest.mark.parametrize("shards", [1, 2])
 def test_handoff_matches_xla_flax(rng, monkeypatch, shards):
     monkeypatch.setenv("PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SWEEP_PREPARED", "1")  # A/B path under test
     ref, srcs, rels, depths, weights = _scene(rng)
     oracle_mod = _Sweep(impl="flax", warp_impl="xla", depth_shards=shards)
     params = oracle_mod.init(jax.random.PRNGKey(0), depths, ref, srcs,
@@ -72,6 +73,7 @@ def test_handoff_gradients_match(rng, monkeypatch):
     """The composed custom VJPs (sweep-cost kernel + RedStep2 kernel) give
     the same parameter gradients as the pure XLA/flax formulation."""
     monkeypatch.setenv("PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SWEEP_PREPARED", "1")  # A/B path under test
     ref, srcs, rels, depths, weights = _scene(rng)
     oracle_mod = _Sweep(impl="flax", warp_impl="xla")
     params = oracle_mod.init(jax.random.PRNGKey(0), depths, ref, srcs,

@@ -707,3 +707,76 @@ def test_photometric_refine_scales_to_large_mesh(rng):
     assert np.isfinite(out).all()
     # generous bound: the old dense-table build alone took minutes here
     assert dt < 120, f"refine too slow at scale: {dt:.1f}s"
+
+
+def test_photometric_refine_zncc_quantitative_exposure_invariance():
+    """VERDICT round-2 item 6: (a) refined surface RMSE strictly improves
+    vs unrefined; (b) the ZNCC patch energy (OpenMVS's core) stays robust
+    under per-view exposure (gain/bias) mismatch where the raw color
+    variance energy breaks — the reason OpenMVS uses ZNCC
+    (createmesh.py:82-112 flag surface)."""
+    import numpy as np
+
+    from deep3d_aerial_tpu.mesh.refine import (PhotoRefineConfig,
+                                               photometric_refine)
+
+    rng = np.random.default_rng(1)
+    n = 9
+    xs, ys = np.meshgrid(np.linspace(-2.5, 2.5, n), np.linspace(-2.5, 2.5, n))
+    verts_gt = np.stack(
+        [xs, ys, np.full_like(xs, 10.0)], -1).reshape(-1, 3).astype(
+            np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    faces = np.array(faces, np.int32)
+
+    K = np.array([[120, 0, 64], [0, 120, 64], [0, 0, 1]], np.float32)
+    H = W = 128
+
+    def render(T):
+        R, t = T[:3, :3], T[:3, 3]
+        ys_, xs_ = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        d_cam = np.stack([(xs_ - K[0, 2]) / K[0, 0],
+                          (ys_ - K[1, 2]) / K[1, 1],
+                          np.ones_like(xs_, np.float32)], -1)
+        Rw = R.T
+        o = -Rw @ t
+        d_w = d_cam @ Rw.T
+        s = (10.0 - o[2]) / d_w[..., 2]
+        pw = o + s[..., None] * d_w
+        # smooth multi-frequency texture (gradients everywhere)
+        return (0.5 + 0.25 * np.sin(2.1 * pw[..., 0]) * np.cos(1.7 * pw[..., 1])
+                + 0.25 * np.sin(3.3 * pw[..., 0] + 2.9 * pw[..., 1])
+                ).astype(np.float32)
+
+    # per-view exposure mismatch: gain/bias ZNCC is invariant to
+    gains = [0.6, 1.0, 1.5]
+    biases = [0.2, 0.0, -0.1]
+    views = []
+    for tx, g, b in zip((-0.5, 0.5, 0.0), gains, biases):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = tx
+        views.append((g * render(T) + b, K, T))
+
+    verts0 = verts_gt.copy()
+    verts0[:, 2] += rng.normal(0, 0.12, len(verts0)).astype(np.float32)
+
+    def rmse(v):
+        return float(np.sqrt(((v[:, 2] - 10.0) ** 2).mean()))
+
+    r0 = rmse(verts0)
+    out_z = photometric_refine(
+        verts0, faces, views,
+        PhotoRefineConfig(scales=2, iterations=25, energy="zncc"))
+    out_v = photometric_refine(
+        verts0, faces, views,
+        PhotoRefineConfig(scales=2, iterations=25, energy="variance"))
+    rz, rv = rmse(out_z), rmse(out_v)
+    assert np.isfinite(out_z).all() and np.isfinite(out_v).all()
+    # quantitative acceptance: zncc STRICTLY improves the surface
+    assert rz < 0.7 * r0, (r0, rz)
+    # and beats the variance energy under exposure mismatch
+    assert rz < rv, (rz, rv)
