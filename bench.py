@@ -62,9 +62,9 @@ def main():
         # A/B knobs: planes per scan chunk, blocked-recurrence depth shards
         extra["plane_chunk"] = int(os.environ.get("BENCH_CHUNK", "8"))
         extra["depth_shards"] = int(os.environ.get("BENCH_SHARDS", "1"))
-    if model_name == "adamvs":
-        # fused RedStep2 regularizer kernel (ops/pallas_red); follows the
-        # warp impl by default
+    if model_name in ("adamvs", "msrednet"):
+        # fused recurrent-regularizer kernels (RedStep2 ops/pallas_red;
+        # RedStep4 ops/pallas_red4); follow the warp impl by default
         extra["red_impl"] = os.environ.get(
             "BENCH_RED", "pallas" if warp_impl == "pallas" else "flax")
     model = build_model(model_name, ndepths=(48, 32, 8), num_depth=384,

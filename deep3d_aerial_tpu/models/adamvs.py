@@ -30,43 +30,36 @@ from ..ops.depth_samplers import (
 from ..ops.warp import plane_sweep_warp_single
 from .cascade import streaming_sweep
 from .cost_reg import CostRegNet2D, RedStep2
-from .feature_net import FeatureNet
+from .feature_net import FeatureNet, multi_view_features
 
 
-def pair_corr_volumes(
-    f1: jnp.ndarray,       # [V, H1, W1, C] stage-1 features
-    rel1: jnp.ndarray,     # [V-1, 4, 4]
-    depths1: jnp.ndarray,  # [D]
-    warp_impl: str = "xla",
-) -> jnp.ndarray:
-    """Per-source-view product-correlation volumes [V-1, D, H1, W1].
-
-    'pallas' uses the fused sweep kernel per (view, plane-chunk) with a
-    whole-branch lax.cond fallback to the gather build when any chunk's
-    footprint escapes its windows."""
-    from .cascade import _pallas_tile_ok
-
+def _pair_volumes_xla(f1, rel1, d_hw):
+    """XLA gather formulation [V-1, D, H1, W1] — the fallback path AND
+    the kernel path's custom-VJP backward."""
     H1, W1 = f1.shape[1:3]
-    D = depths1.shape[0]
-    d_hw = jnp.broadcast_to(depths1[:, None, None], (D, H1, W1))
+    D = d_hw.shape[0]
 
-    def xla_volumes():
-        def one_view(src_feat, rel):
-            def corr_plane(d):
-                w = plane_sweep_warp_single(src_feat, rel, d, (H1, W1))
-                return (w * f1[0]).mean(-1)
-            # 8 planes per gather batch; a full-volume warp lane-pads 4x
-            return jax.lax.map(corr_plane, d_hw, batch_size=min(8, D))
+    def one_view(src_feat, rel):
+        def corr_plane(d):
+            w = plane_sweep_warp_single(src_feat, rel, d, (H1, W1))
+            return (w * f1[0]).mean(-1)
+        # 8 planes per gather batch; a full-volume warp lane-pads 4x
+        return jax.lax.map(corr_plane, d_hw, batch_size=min(8, D))
 
-        return jax.vmap(one_view)(f1[1:], rel1)
+    return jax.vmap(one_view)(f1[1:], rel1).astype(f1.dtype)
 
-    if warp_impl != "pallas" or not _pallas_tile_ok(H1, W1):
-        return xla_volumes()
-    # (tile_ok already excludes the CPU backend)
 
+@jax.custom_vjp
+def _pair_volumes_pallas(f1, rel1, d_hw):
+    """Kernel forward / XLA backward (pallas_call defines no autodiff
+    rule; the two formulations agree to <1e-5 — same contract as
+    cascade._pallas_chunk_costs). Required for TS_WARP=pallas training:
+    without the custom VJP, differentiating the pair branch raises
+    NotImplementedError from the pallas JVP rule."""
     from ..ops.pallas_sweep import sweep_corr_chunk_pallas
-    from .cascade import _pallas_interpret
+    from .cascade import _pallas_interpret, _sweep_strict
 
+    D, H1, W1 = d_hw.shape
     K = 8
     while D % K:
         K -= 1
@@ -83,8 +76,47 @@ def pair_corr_volumes(
         covs.append(jnp.all(cov_v))
     covered = jnp.all(jnp.stack(covs))
     pallas_vol = jnp.stack(vols)
+    if _sweep_strict():
+        return jnp.where(covered, pallas_vol, jnp.nan).astype(f1.dtype)
     return jax.lax.cond(
-        covered, lambda: pallas_vol.astype(f1.dtype), xla_volumes)
+        covered, lambda: pallas_vol.astype(f1.dtype),
+        lambda: _pair_volumes_xla(f1, rel1, d_hw))
+
+
+def _pair_volumes_fwd(f1, rel1, d_hw):
+    return _pair_volumes_pallas(f1, rel1, d_hw), (f1, rel1, d_hw)
+
+
+def _pair_volumes_bwd(res, g):
+    _, vjp = jax.vjp(_pair_volumes_xla, *res)
+    return vjp(g)
+
+
+_pair_volumes_pallas.defvjp(_pair_volumes_fwd, _pair_volumes_bwd)
+
+
+def pair_corr_volumes(
+    f1: jnp.ndarray,       # [V, H1, W1, C] stage-1 features
+    rel1: jnp.ndarray,     # [V-1, 4, 4]
+    depths1: jnp.ndarray,  # [D]
+    warp_impl: str = "xla",
+) -> jnp.ndarray:
+    """Per-source-view product-correlation volumes [V-1, D, H1, W1].
+
+    'pallas' uses the fused sweep kernel per (view, plane-chunk) with a
+    whole-branch lax.cond fallback to the gather build when any chunk's
+    footprint escapes its windows, and the XLA formulation's gradient
+    (custom VJP) so training runs through the kernel forward."""
+    from .cascade import _pallas_tile_ok
+
+    H1, W1 = f1.shape[1:3]
+    D = depths1.shape[0]
+    d_hw = jnp.broadcast_to(depths1[:, None, None], (D, H1, W1))
+
+    if warp_impl != "pallas" or not _pallas_tile_ok(H1, W1):
+        return _pair_volumes_xla(f1, rel1, d_hw)
+    # (tile_ok already excludes the CPU backend)
+    return _pair_volumes_pallas(f1, rel1, d_hw)
 
 
 class _PairBranch(nn.Module):
@@ -130,16 +162,10 @@ class AdaMVS(nn.Module):
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
         """imgs [V, H, W, 3]; rel_projs [3, V-1, 4, 4] per-stage src-vs-ref
         transforms (host float64 precompute); scalar depth range."""
-        VmapFeature = nn.vmap(
-            FeatureNet,
-            in_axes=0, out_axes=0,
-            variable_axes={"params": None},
-            split_rngs={"params": False},
-        )
-        stage_feats = VmapFeature(
-            base_channels=self.base_channels, arch="branch",
-            norm=self.norm, dtype=self.dtype, name="feature",
-        )(imgs)
+        stage_feats, stage_cf = multi_view_features(
+            FeatureNet(base_channels=self.base_channels, arch="branch",
+                       norm=self.norm, dtype=self.dtype, name="feature"),
+            imgs)
 
         interval = (depth_max - depth_min) / self.num_depth
 
@@ -173,7 +199,8 @@ class AdaMVS(nn.Module):
         outputs = {}
         for s in range(len(self.ndepths)):
             feats = stage_feats[s]
-            H, W = feats.shape[1:3]
+            cf = stage_cf[s]
+            H, W = feats.shape[-2:] if cf else feats.shape[1:3]
             up = s < len(self.ndepths) - 1
             if depth is None:
                 depths = uniform_depth_samples(depth_min, depth_max, self.ndepths[s])
@@ -196,6 +223,7 @@ class AdaMVS(nn.Module):
                 plane_chunk=self.plane_chunk,
                 depth_shards=self.depth_shards,
                 warp_impl=self.warp_impl,
+                feats_cf=cf,
             )
             outputs[f"stage{s + 1}"] = {
                 "depth": depth, "photometric_confidence": conf,

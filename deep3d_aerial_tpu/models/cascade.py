@@ -219,6 +219,20 @@ def _pallas_interpret() -> bool:
     return os.environ.get("PALLAS_INTERPRET", "0") == "1"
 
 
+def _sweep_strict() -> bool:
+    """SWEEP_STRICT=1 removes the in-graph XLA gather fallback from the
+    kernel coverage cond and NaN-poisons the cost chunk if coverage ever
+    fails (detectable host-side; re-run that map with warp_impl='xla').
+
+    Why it exists: the fallback branch's gather buffers are lane-padded
+    by XLA (C=8 -> 128, measured), so at the 1856x2752 production point
+    the never-taken branch alone plans ~2.6 GB per [H, W, C] chunk and
+    the whole-model compile exceeds HBM (39.2 G planned vs 15.75 G,
+    round-3 full-res bench). Coverage at the production geometry is
+    statically checked by scripts/check_coverage.py."""
+    return os.environ.get("SWEEP_STRICT", "0") == "1"
+
+
 def _pallas_tile_ok(H: int, W: int) -> bool:
     """Kernel applicability. Shape is no longer a gate: the sweep wrappers
     zero-pad any H, W to their tile/lane alignment internally (padded ref
@@ -263,6 +277,11 @@ def _pallas_chunk_costs(cost_mode, depth_chunk, ref_feat, src_feats,
         weights=None if mode == "variance" else weights,
         mode=mode, interpret=_pallas_interpret(),
     )
+    if _sweep_strict():
+        # no in-graph fallback (its lane-padded gather buffers OOM the
+        # full-res compile — see _sweep_strict); poison on coverage miss
+        return jnp.where(covered, cost_p,
+                         jnp.nan).astype(ref_feat.dtype)
     return jax.lax.cond(
         covered,
         lambda: cost_p.astype(ref_feat.dtype),
@@ -328,6 +347,8 @@ def _pallas_chunk_costs_prepared(spec, depth_chunk, ref_t, src_t, rels, wts):
         interpret=_pallas_interpret(),
     )
     dt = jnp.dtype(dtype_name)
+    if _sweep_strict():
+        return jnp.where(covered, cost_p, jnp.nan).astype(dt)
     return jax.lax.cond(
         covered,
         lambda: cost_p.astype(dt),
@@ -547,6 +568,7 @@ def streaming_sweep(
     plane_chunk: int = 8,
     depth_shards: int = 1,
     warp_impl: str = "xla",
+    feats_cf: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Chunked (and optionally depth-sharded) scan over depth planes with
     O(H*W) state -> (depth, confidence).
@@ -570,7 +592,18 @@ def streaming_sweep(
     """
     from ..parallel.context import constrain
 
-    H, W = ref_feat.shape[:2]
+    # feats_cf: ref_feat [C, H, W] / src_feats [V-1, C, H, W] channel-
+    # first (feature_net.multi_view_features full-res layout): spatial
+    # dims ride the (8, 128) tiling, so full-res feature maps store at 1x
+    # instead of NHWC's 16-51x lane padding (the round-3 full-res OOM).
+    # CF forces the prepared-operand kernel path (the layouts are the
+    # kernel's own); the XLA gather path transposes back at entry (the
+    # CPU/test path only).
+    H, W = ref_feat.shape[-2:] if feats_cf else ref_feat.shape[:2]
+    if feats_cf and not (warp_impl == "pallas" and _pallas_tile_ok(H, W)):
+        ref_feat = jnp.transpose(ref_feat, (1, 2, 0))
+        src_feats = jnp.transpose(src_feats, (0, 2, 3, 1))
+        feats_cf = False
     D = depths.shape[0]
     if depths.ndim == 1:
         depths = jnp.broadcast_to(depths[:, None, None], (D, H, W))
@@ -583,15 +616,25 @@ def streaming_sweep(
     # stay OFF by default): SWEEP_PREPARED=1 pads + transposes the sweep
     # operands once outside the scan; SWEEP_CF=1 additionally hands costs
     # to the fused RedStep2 kernel channel-first at its buffer width.
+    from .cost_reg import RedStep2
+
     prepared = (warp_impl == "pallas" and _pallas_tile_ok(H, W)
-                and os.environ.get("SWEEP_PREPARED", "0") == "1")
-    out_cf = (prepared and getattr(reg, "impl", "flax") == "pallas"
+                and (feats_cf
+                     or os.environ.get("SWEEP_PREPARED", "0") == "1"))
+    # the channel-first handoff contract (cost_cf kwarg + pad_width
+    # buffers) is a RedStep2-kernel convention; RedStep4 takes NHWC
+    out_cf = (prepared and isinstance(reg, RedStep2)
+              and getattr(reg, "impl", "flax") == "pallas"
               and os.environ.get("SWEEP_CF", "1") == "1")
     if prepared:
-        from ..ops.pallas_sweep import prepare_sweep_operands
+        from ..ops.pallas_sweep import (
+            prepare_sweep_operands,
+            prepare_sweep_operands_cf,
+        )
 
-        ops = prepare_sweep_operands(ref_feat, src_feats, weights,
-                                     pad_to=256 if out_cf else 128)
+        prep = prepare_sweep_operands_cf if feats_cf else prepare_sweep_operands
+        ops = prep(ref_feat, src_feats, weights,
+                   pad_to=256 if out_cf else 128)
         ref_arg, src_arg, w_arg = ops.ref_t, ops.src_t, ops.weights
         img_hw = ops.img_hw
     else:

@@ -269,13 +269,72 @@ class RedStep4(nn.Module):
     cost [H, W, C_in] (negated variance fed by caller), states pyramid
     (s1 [H,W,8], s2 [H/2,W/2,16], s3 [H/4,W/4,32], s4 [H/8,W/8,64])
     -> score [H, W], new states.
+
+    impl='pallas' runs the fused whole-plane Mosaic kernel
+    (ops/pallas_red4): the entire step — downsample chain, four
+    GroupNorm'd ConvGRUs with in-kernel global statistics, decoder,
+    score head — is ONE program per plane, and the state layout becomes
+    CHANNEL-FIRST (s1 [8,H,W] .. s4 [64,H/8,W/8]) so consecutive planes
+    chain with zero relayouts. Param tree identical to impl='flax'
+    (checkpoints interchangeable); gradients via the kernel's custom VJP
+    (the flax backward). Falls back to the flax body while initializing,
+    off-TPU, or on shapes outside the whole-plane VMEM tier
+    (pallas_red4.red_step4_ok).
     """
 
     base: int = 8
     dtype: Any = jnp.float32
+    impl: str = "flax"        # 'flax' | 'pallas'
+    interpret: bool = False   # pallas interpret mode (CPU tests only)
 
     @nn.compact
     def __call__(self, cost, s1, s2, s3, s4):
+        if self.impl == "pallas":
+            return self._pallas_path(cost, s1, s2, s3, s4)
+        return self._flax_body(cost, s1, s2, s3, s4)
+
+    def _pallas_path(self, cost, s1, s2, s3, s4):
+        import os
+
+        import jax
+
+        from ..ops.pallas_red4 import red_step4_fused, red_step4_ok
+
+        H, W, Cin = cost.shape[-3:]
+        interp = (self.interpret
+                  or os.environ.get("PALLAS_INTERPRET", "0") == "1")
+        backend_ok = (
+            not self.is_initializing()
+            and self.base == 8
+            and (jax.default_backend() != "cpu" or interp)
+        )
+        if backend_ok and red_step4_ok(H, W, Cin, self.dtype):
+            params = self.variables["params"]
+            precision = ("bf16" if jnp.dtype(self.dtype) == jnp.bfloat16
+                         else "f32x3")
+            kw = dict(dtype=self.dtype, precision=precision,
+                      interpret=interp)
+            if s1.ndim == 4:
+                # leading depth-block axis: unrolled kernel calls (the
+                # kernel is per-image; n is a small static block count)
+                outs = [red_step4_fused(params, cost[i], s1[i], s2[i],
+                                        s3[i], s4[i], **kw)
+                        for i in range(s1.shape[0])]
+                return tuple(jnp.stack([o[j] for o in outs])
+                             for j in range(5))
+            return red_step4_fused(params, cost, s1, s2, s3, s4, **kw)
+
+        # fallback: flax body on HWC layouts
+        if s1.ndim == 4:
+            perm_in, perm_out = (0, 2, 3, 1), (0, 3, 1, 2)
+        else:
+            perm_in, perm_out = (1, 2, 0), (2, 0, 1)
+        outs = self._flax_body(cost, *(jnp.transpose(s, perm_in)
+                                       for s in (s1, s2, s3, s4)))
+        return (outs[0],) + tuple(jnp.transpose(s, perm_out)
+                                  for s in outs[1:])
+
+    def _flax_body(self, cost, s1, s2, s3, s4):
         b, dt = self.base, self.dtype
         neg = -cost
         d1 = ConvBlock(2 * b, stride=2, norm="none", dtype=dt, name="conv1")(neg)
@@ -296,6 +355,13 @@ class RedStep4(nn.Module):
 
     def init_states(self, H: int, W: int):
         b = self.base
+        if self.impl == "pallas":
+            return (
+                jnp.zeros((b, H, W), self.dtype),
+                jnp.zeros((2 * b, H // 2, W // 2), self.dtype),
+                jnp.zeros((4 * b, H // 4, W // 4), self.dtype),
+                jnp.zeros((8 * b, H // 8, W // 8), self.dtype),
+            )
         return (
             jnp.zeros((H, W, b), self.dtype),
             jnp.zeros((H // 2, W // 2, 2 * b), self.dtype),

@@ -98,3 +98,51 @@ class FeatureNet(nn.Module):
             return s1, s2, s3
 
         raise ValueError(f"unknown feature arch {self.arch!r}")
+
+
+# Pixel-count threshold above which multi_view_features switches from
+# nn.vmap to the per-view loop + channel-first stacks (full-res memory:
+# see multi_view_features). 2^21 px keeps every <=1024x2048 point on the
+# (cached, measured) vmap path; 1856x2752 = 5.1M px takes the loop.
+import os as _os
+
+FEATS_LOOP_THRESHOLD = int(_os.environ.get("FEATS_LOOP_THRESHOLD",
+                                           str(2 ** 21)))
+
+
+def multi_view_features(feature: FeatureNet, imgs):
+    """Extract the 3-stage pyramid for every view.
+
+    imgs [V, H, W, 3] -> ((s1, s2, s3), cf_flags): stage tensors stacked
+    over views, cf_flags[s] saying whether stage s is CHANNEL-FIRST
+    ([V, c, h, w]) instead of NHWC.
+
+    Small frames (H*W < FEATS_LOOP_THRESHOLD): nn.vmap over views, all
+    NHWC — the measured-fast path at the 384x512 bench point.
+
+    Full-res frames: nn.vmap makes XLA tile the (view, channel) dims as
+    (sublane, lane) on the stage-3 maps — 25-51x lane padding, 4 x 9.74 GB
+    buffers at 1856x2752 (the round-3 full-res OOM). Instead the views
+    run as an unrolled loop (shared params, identical tree to the vmap —
+    checkpoints interchangeable), each view's NHWC working set is
+    transient, and stages 2-3 are stacked CHANNEL-FIRST ([V, c, h, w]:
+    spatial dims on the tiling, 1x padding) — also the sweep kernel's
+    native operand layout (pallas_sweep.prepare_sweep_operands_cf).
+    Stage 1 is 1/16 the pixels and feeds the NHWC pair branch, so it
+    stays NHWC.
+    """
+    V, H, W = imgs.shape[:3]
+    if H * W < FEATS_LOOP_THRESHOLD:
+        Vmap = nn.vmap(
+            lambda m, x: m(x),
+            in_axes=0, out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )
+        return Vmap(feature, imgs), (False, False, False)
+
+    per_view = [feature(imgs[v]) for v in range(V)]
+    s1 = jnp.stack([f[0] for f in per_view])
+    s2 = jnp.stack([jnp.transpose(f[1], (2, 0, 1)) for f in per_view])
+    s3 = jnp.stack([jnp.transpose(f[2], (2, 0, 1)) for f in per_view])
+    return (s1, s2, s3), (False, True, True)

@@ -22,7 +22,7 @@ from ..ops.depth_samplers import (
 )
 from .cascade import streaming_sweep
 from .cost_reg import RedStep4
-from .feature_net import FeatureNet
+from .feature_net import FeatureNet, multi_view_features
 
 
 class MSREDNet(nn.Module):
@@ -36,21 +36,17 @@ class MSREDNet(nn.Module):
     depth_shards: int = 1  # see AdaMVS.depth_shards
     plane_chunk: int = 8
     warp_impl: str = "xla"  # see AdaMVS.warp_impl
+    red_impl: str = "flax"  # 'pallas' = fused whole-plane RedStep4 kernel
+                            # (ops/pallas_red4), flax fallback off-tier
 
     @nn.compact
     def __call__(self, imgs, rel_projs, depth_min, depth_max):
         """imgs [V, H, W, 3]; rel_projs [3, V-1, 4, 4] per-stage src-vs-ref
         transforms (host float64 precompute); scalar depth range."""
-        VmapFeature = nn.vmap(
-            FeatureNet,
-            in_axes=0, out_axes=0,
-            variable_axes={"params": None},
-            split_rngs={"params": False},
-        )
-        stage_feats = VmapFeature(
-            base_channels=self.base_channels, arch=self.arch,
-            norm=self.norm, dtype=self.dtype, name="feature",
-        )(imgs)
+        stage_feats, stage_cf = multi_view_features(
+            FeatureNet(base_channels=self.base_channels, arch=self.arch,
+                       norm=self.norm, dtype=self.dtype, name="feature"),
+            imgs)
 
         interval = (depth_max - depth_min) / self.num_depth
         depth = None
@@ -58,7 +54,8 @@ class MSREDNet(nn.Module):
         outputs = {}
         for s in range(len(self.ndepths)):
             feats = stage_feats[s]
-            H, W = feats.shape[1:3]
+            cf = stage_cf[s]
+            H, W = feats.shape[-2:] if cf else feats.shape[1:3]
             if depth is None:
                 depths = uniform_depth_samples(depth_min, depth_max, self.ndepths[s])
             else:
@@ -67,7 +64,8 @@ class MSREDNet(nn.Module):
                     center, self.ndepths[s],
                     self.depth_interval_ratios[s] * interval,
                 )
-            reg = RedStep4(dtype=self.dtype, name=f"red{s}")
+            reg = RedStep4(dtype=self.dtype, impl=self.red_impl,
+                           name=f"red{s}")
             depth, conf = streaming_sweep(
                 reg=reg, cost_mode="variance", up=False,
                 depths=depths,
@@ -78,6 +76,7 @@ class MSREDNet(nn.Module):
                 plane_chunk=self.plane_chunk,
                 depth_shards=self.depth_shards,
                 warp_impl=self.warp_impl,
+                feats_cf=cf,
             )
             outputs[f"stage{s + 1}"] = {
                 "depth": depth, "photometric_confidence": conf,

@@ -97,7 +97,7 @@ def _sel_dot(rows2, SelX, precision):
 
 
 def _sweep_corr_kernel(
-    origins_ref,   # scalar prefetch [nTiles, 2] (win_y0, win_x0) int32
+    origins_ref,   # scalar prefetch [2, nTiles] (win_y0; win_x0) int32
     rel_ref,       # [1, 12] SMEM
     depths_ref,    # [K, TH, TW] depth planes for this tile (VMEM block)
     ref_t_ref,     # [C, TH, TW] channel-major ref tile (VMEM block)
@@ -112,8 +112,8 @@ def _sweep_corr_kernel(
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_idx = ti * n_tiles_w + tj
-    win_y0 = origins_ref[tile_idx, 0]
-    win_x0 = pl.multiple_of(origins_ref[tile_idx, 1], 128)
+    win_y0 = origins_ref[0, tile_idx]
+    win_x0 = pl.multiple_of(origins_ref[1, tile_idx], 128)
 
     copy = pltpu.make_async_copy(
         src_t_ref.at[pl.ds(win_y0, WIN_H), :, pl.ds(win_x0, WIN_W)],
@@ -277,8 +277,14 @@ def chunk_origins_and_coverage(
     ) | (row_min >= big)
     covered = jnp.all(x_cov) & jnp.all(y_cov) & jnp.all(row_ok)
 
+    # [2, n_tiles] (row 0 = win_y0, row 1 = win_x0): the tile axis rides
+    # the MINOR dim so SMEM lane padding is paid once per coordinate row,
+    # not once per tile — a [n_tiles, 2] layout pads every 2-int row to a
+    # full 128-lane stripe and blows the 1 MB SMEM at full-res tile
+    # counts (measured: u8[10452992] 'prefetched SMEM operand' compile
+    # failure at 1856x2752, 20416 tile rows x 512 B)
     origins = jnp.stack(
-        [y0.reshape(-1), x0.reshape(-1)], axis=-1
+        [y0.reshape(-1), x0.reshape(-1)], axis=0
     ).astype(jnp.int32)
     return origins, covered
 
@@ -374,7 +380,7 @@ def sweep_corr_chunk_pallas(
 
 
 def _sweep_cost_kernel(
-    origins_ref,   # scalar prefetch [V * nTiles, 2] (win_y0, win_x0) int32
+    origins_ref,   # scalar prefetch [2, V * nTiles] (win_y0; win_x0) int32
     rels_ref,      # [V, 12] SMEM
     depths_ref,    # [K, TH, TW] VMEM block
     ref_t_ref,     # [C, TH, TW] VMEM block
@@ -394,8 +400,8 @@ def _sweep_cost_kernel(
 
     copies = []
     for v in range(V):
-        win_y0 = origins_ref[v * n_tiles + tile_idx, 0]
-        win_x0 = pl.multiple_of(origins_ref[v * n_tiles + tile_idx, 1], 128)
+        win_y0 = origins_ref[0, v * n_tiles + tile_idx]
+        win_x0 = pl.multiple_of(origins_ref[1, v * n_tiles + tile_idx], 128)
         cp = pltpu.make_async_copy(
             src_t_ref.at[v, pl.ds(win_y0, WIN_H), :, pl.ds(win_x0, WIN_W)],
             win_scratch.at[v],
@@ -446,8 +452,8 @@ def _sweep_cost_kernel(
                 x_src, y_src = coords[v]
                 xs_v = x_src[trow:trow + 1, :]
                 ys_v = y_src[trow:trow + 1, :]
-                win_y0 = origins_ref[v * n_tiles + tile_idx, 0]
-                win_x0 = origins_ref[v * n_tiles + tile_idx, 1]
+                win_y0 = origins_ref[0, v * n_tiles + tile_idx]
+                win_x0 = origins_ref[1, v * n_tiles + tile_idx]
                 ymin = jnp.min(jnp.where(ys_v > -1.0, ys_v, 1e9))
                 ybase = jnp.clip(
                     jnp.floor(ymin).astype(jnp.int32) - win_y0,
@@ -525,6 +531,32 @@ def prepare_sweep_operands(
     )
 
 
+def prepare_sweep_operands_cf(
+    ref_feat: jnp.ndarray,    # [C, H, W] channel-first
+    src_feats: jnp.ndarray,   # [V, C, H, W] channel-first
+    weights: Optional[jnp.ndarray] = None,  # [V, H, W]
+    tile: Tuple[int, int] = (8, 128),
+    pad_to: int = 128,
+) -> SweepOperands:
+    """prepare_sweep_operands for CHANNEL-FIRST features
+    (feature_net.multi_view_features full-res layout). ref arrives in the
+    kernel's exact ref layout already; src needs one (0,2,1,3) transpose
+    of a well-laid tensor — never materializing an NHWC feature map
+    (whose C-minor lane padding is 16-51x at 1856x2752, docs/PERF.md)."""
+    V, C, Himg, Wimg = src_feats.shape
+    TH, TW = tile
+    lane = max(int(pad_to), TW)
+    H, W = _round_up(Himg, TH), _round_up(max(Wimg, lane), lane)
+    if weights is None:
+        weights = jnp.ones((V, Himg, Wimg), jnp.float32)
+    ref = _pad_hw(ref_feat.astype(jnp.float32), H, W, axes=(1, 2))
+    src = _pad_hw(jnp.transpose(src_feats.astype(jnp.float32), (0, 2, 1, 3)),
+                  H, W, axes=(1, 3))
+    wts = _pad_hw(weights.astype(jnp.float32), H, W, axes=(1, 2))
+    return SweepOperands(ref_t=ref, src_t=src, weights=wts,
+                         img_hw=(Himg, Wimg))
+
+
 def sweep_cost_chunk_prepared(
     ops: SweepOperands,
     rels: jnp.ndarray,        # [V, 4, 4] / [V, 3, 4]
@@ -588,7 +620,7 @@ def sweep_cost_chunk_prepared(
         )
         origins_l.append(org_v)
         covered = jnp.logical_and(covered, cov_v) if v else cov_v
-    origins = jnp.concatenate(origins_l, axis=0)  # [V*n_tiles, 2]
+    origins = jnp.concatenate(origins_l, axis=1)  # [2, V*n_tiles]
 
     src_t, ref_t, weights = ops.src_t, ops.ref_t, ops.weights
 

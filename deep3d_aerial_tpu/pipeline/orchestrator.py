@@ -153,7 +153,7 @@ class AerialPipeline:
         kwargs["dtype"] = jnp.dtype(
             {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
                 getattr(cfg, "compute_dtype", "float32")])
-        if cfg.model_type == "adamvs":
+        if cfg.model_type in ("adamvs", "msrednet"):
             kwargs["red_impl"] = getattr(cfg, "red_impl", "pallas")
         model = build_model(cfg.model_type, **kwargs)
         sample0 = ds.build(0)

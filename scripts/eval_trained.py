@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build_workspace(ws, scene_seed, n_grid=3):
+def build_workspace(ws, scene_seed, n_grid=3, W_IMG=96, H_IMG=64):
     from PIL import Image
 
     from deep3d_aerial_tpu.geometry.camera import Pose, rotmat2qvec
@@ -23,10 +23,12 @@ def build_workspace(ws, scene_seed, n_grid=3):
     from deep3d_aerial_tpu.sparse import colmap
     from scripts.train_synthetic import render, terrain_z
 
-    W_IMG, H_IMG = 96, 64
     os.makedirs(ws, exist_ok=True)
     rng = np.random.default_rng(scene_seed)
-    K = np.array([[130.0, 0, W_IMG / 2], [0, 130.0, H_IMG / 2], [0, 0, 1.0]])
+    # focal tracks image width (same footprint at every eval resolution —
+    # matches train_synthetic.make_sample)
+    f = 130.0 * (W_IMG / 96.0)
+    K = np.array([[f, 0, W_IMG / 2], [0, f, H_IMG / 2], [0, 0, 1.0]])
 
     poses, gt_depths, iid = {}, {}, 1
     img_dir = os.path.join(ws, "images")
@@ -90,15 +92,17 @@ def build_workspace(ws, scene_seed, n_grid=3):
     return gt_depths, scene_seed
 
 
-def run_pipe(ws, ckpt, label):
+def run_pipe(ws, ckpt, label, W_IMG=96, H_IMG=64, view_num=3,
+             num_depth=64, ndepths=(16, 8, 8), min_interval=0.5):
     from deep3d_aerial_tpu.io.pfm import read_pfm
     from deep3d_aerial_tpu.pipeline.config import PipelineConfig
     from deep3d_aerial_tpu.pipeline.orchestrator import AerialPipeline
 
     cfg = PipelineConfig(
-        image_w=96, image_h=64, image_scale=1.0,
+        image_w=W_IMG, image_h=H_IMG, image_scale=1.0,
         scene_block_size=[60.0, 60.0, 120.0], block_overlap=2.0,
-        view_num=3, num_depth=64, ndepths=[16, 8, 8], min_interval=0.5,
+        view_num=view_num, num_depth=num_depth, ndepths=list(ndepths),
+        min_interval=min_interval,
         model_type="adamvs",
         pretrain_weight=ckpt, allow_random_weights=ckpt is None,
         fusion_num=4, geo_consist_num=3, photomatric_threshold=0.1,
@@ -142,15 +146,28 @@ def main():
     print(f"[ckpt] {ckpt}")
 
     seed = int(os.environ.get("TS_EVAL_SEED", "9100"))  # held out
+    # operating point (defaults = the toy point; the reference-scale runs
+    # set these to the training config: 384x512, 5 views, 48/32/8, 384)
+    W_IMG = int(os.environ.get("TS_EVAL_W", "96"))
+    H_IMG = int(os.environ.get("TS_EVAL_H", "64"))
+    view_num = int(os.environ.get("TS_EVAL_VIEWS", "3"))
+    num_depth = int(os.environ.get("TS_EVAL_NUM_DEPTH", "64"))
+    ndepths = tuple(int(x) for x in
+                    os.environ.get("TS_EVAL_NDEPTHS", "16,8,8").split(","))
+    min_interval = float(os.environ.get("TS_EVAL_MIN_INTERVAL", "0.5"))
+    skip_random = os.environ.get("TS_EVAL_SKIP_RANDOM", "0") == "1"
     results = {}
-    for label, c in [("trained", ckpt), ("random", None)]:
+    cases = [("trained", ckpt)] + ([] if skip_random else [("random", None)])
+    for label, c in cases:
         ws = f"/tmp/eval_trained/{label}"
         import shutil
 
         if os.path.exists(ws):
             shutil.rmtree(ws)
-        gt_depths, _ = build_workspace(ws, seed)
-        depths, cloud = run_pipe(ws, c, label)
+        gt_depths, _ = build_workspace(ws, seed, W_IMG=W_IMG, H_IMG=H_IMG)
+        depths, cloud = run_pipe(ws, c, label, W_IMG=W_IMG, H_IMG=H_IMG,
+                                 view_num=view_num, num_depth=num_depth,
+                                 ndepths=ndepths, min_interval=min_interval)
         errs, agree = [], []
         for iid, est in depths.items():
             gt = gt_depths[iid]
@@ -168,7 +185,12 @@ def main():
         }
         print(json.dumps({label: results[label]}), flush=True)
 
-    out = {"checkpoint": ckpt, "eval_seed": seed, **results}
+    out = {"checkpoint": ckpt, "eval_seed": seed,
+           "operating_point": {"W": W_IMG, "H": H_IMG, "views": view_num,
+                               "ndepths": list(ndepths),
+                               "num_depth": num_depth,
+                               "min_interval": min_interval},
+           **results}
     acc_path = os.path.join(os.path.dirname(__file__), "..", "docs",
                             "ACCURACY.md")
     with open(acc_path, "a") as f:

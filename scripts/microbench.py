@@ -355,6 +355,55 @@ def main():
     for s in (1, 2, 3):
         bench(f"red_s{s}_pallas", mk_red(s, red_impl="pallas"))
 
+    # ---- RedStep4 chain (msrednet regularizer) -------------------------
+    def mk_red4(stage, red_impl="flax"):
+        from deep3d_aerial_tpu.models.cost_reg import RedStep4
+
+        h, w, c, d = S[stage]
+
+        def make():
+            costs = rnd(d, h, w, c)
+
+            class _Step4(nn.Module):
+                @nn.compact
+                def __call__(self, carry, cost):
+                    states, acc = carry
+                    r = RedStep4(dtype=dtype, impl=red_impl, name="red")
+                    out = r(cost, *states)
+                    return ((tuple(out[1:]), acc + jnp.mean(out[0])),
+                            out[0].sum())
+
+            class Red4Chain(nn.Module):
+                @nn.compact
+                def __call__(self, costs):
+                    r = RedStep4(dtype=dtype, impl=red_impl, name="red")
+                    states = r.init_states(h, w)
+                    ScanRed = nn.scan(
+                        _Step4, variable_broadcast="params",
+                        split_rngs={"params": False},
+                        in_axes=0, out_axes=0)
+                    (_, out), scores = ScanRed()(
+                        (states, jnp.float32(0)), costs)
+                    return scores
+
+            model = Red4Chain()
+            params = jax.jit(model.init)(key, costs)
+
+            @jax.jit
+            def step(fb, costs):
+                s = model.apply(params, costs + fb)
+                return s, jnp.float32(jnp.mean(s) * 1e-12)
+
+            return step, jax.jit(lambda o: o[0]), (costs,)
+
+        return make
+
+    if os.environ.get("MB_RED4", "0") == "1":
+        for s in (1, 2, 3):
+            bench(f"red4_s{s}", mk_red4(s))
+        for s in (1, 2, 3):
+            bench(f"red4_s{s}_pallas", mk_red4(s, red_impl="pallas"))
+
     total = sum(results.values())
     print(json.dumps({"name": "TOTAL_ms", "ms": round(total, 2),
                       "H": H, "W": W,

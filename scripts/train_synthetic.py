@@ -71,7 +71,11 @@ def make_sample(rng, scene_seed, V, H, W):
         Pose, proj_matrix, stage_relative_projections,
     )
 
-    K = np.array([[130.0, 0, W / 2], [0, 130.0, H / 2], [0, 0, 1.0]])
+    # focal scales with W so the ground footprint (and the fixed-point GT
+    # ray marcher's convergence) is size-invariant: 130 px at W=96 ==
+    # the reference-like ~20 deg half-FOV at every training resolution
+    f = 130.0 * (W / 96.0)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
     # oblique ring: ref nadir-ish + tilted sources
     imgs, projs = [], []
     depth_gt = None
@@ -108,6 +112,27 @@ def make_sample(rng, scene_seed, V, H, W):
         "depth_gt": depth_gt,
         "mask": (depth_gt > 0).astype(np.float32),
     }
+
+
+def _make_sample_seeded(args):
+    """Picklable worker: per-scene camera rng derived from the scene seed
+    (deterministic regardless of pool scheduling)."""
+    scene_seed, V, H, W = args
+    rng = np.random.default_rng(10_000_019 + scene_seed)
+    return make_sample(rng, scene_seed, V, H, W)
+
+
+def make_samples_parallel(seeds, V, H, W, workers=None):
+    """Render scenes across processes — the 384x512 reference-scale point
+    costs seconds/scene serially."""
+    import multiprocessing as mp
+
+    args = [(s, V, H, W) for s in seeds]
+    if len(args) <= 2 or (workers is not None and workers <= 1):
+        return [_make_sample_seeded(a) for a in args]
+    workers = workers or min(mp.cpu_count(), 8, len(args))
+    with mp.get_context("fork").Pool(workers) as pool:
+        return pool.map(_make_sample_seeded, args)
 
 
 def batches_of(samples, bs):
@@ -155,10 +180,16 @@ def main():
 
     fresh = os.environ.get("TS_FRESH", "1") == "1"
 
-    rng = np.random.default_rng(7)
     print(f"[data] rendering {n_train}+{n_val} scenes ...", flush=True)
-    train_s = [make_sample(rng, 1000 + i, V, H, W) for i in range(n_train)]
-    val_s = [make_sample(rng, 9000 + i, V, H, W) for i in range(n_val)]
+    if os.environ.get("TS_PAR_RENDER", "1") == "1":
+        train_s = make_samples_parallel(
+            [1000 + i for i in range(n_train)], V, H, W)
+        val_s = make_samples_parallel(
+            [9000 + i for i in range(n_val)], V, H, W)
+    else:
+        rng = np.random.default_rng(7)
+        train_s = [make_sample(rng, 1000 + i, V, H, W) for i in range(n_train)]
+        val_s = [make_sample(rng, 9000 + i, V, H, W) for i in range(n_val)]
     train_b = batches_of(train_s, bs)
     val_b = batches_of(val_s, 1)
 
@@ -197,7 +228,6 @@ def main():
     extra = {"warp_impl": warp_impl}
     if model_name in ("adamvs", "msrednet"):
         extra["depth_shards"] = depth_shards
-    if model_name == "adamvs":
         extra["red_impl"] = red_impl
     model = build_model(model_name, ndepths=ndepths, num_depth=num_depth,
                         **extra)
@@ -212,6 +242,16 @@ def main():
     )
     trainer = Trainer(model, tcfg, steps_per_epoch=len(train_b))
     trainer.init(train_b[0])
+    warm = os.environ.get("TS_WARM")
+    if warm:
+        # warm start (reference --loadckpt analog, train_whu.py:148-153);
+        # param trees port across depth_shards (blocking is a model spec,
+        # not a param shape — models/cascade.py)
+        from deep3d_aerial_tpu.train import checkpoint as _ckpt
+
+        payload = _ckpt.restore_checkpoint(warm)
+        trainer.params = payload["params"]
+        print(f"[warm] loaded params from {warm}", flush=True)
     before = trainer.evaluate(val_b)
     print(f"[eval] untrained: {before}", flush=True)
     t0 = time.time()

@@ -48,6 +48,39 @@ def _scene(rng):
     return ref, srcs, rels, depths, weights
 
 
+def test_sweep_strict_matches_cond_path(rng, monkeypatch):
+    """SWEEP_STRICT=1 (no in-graph gather fallback — the full-res HBM
+    lever, cascade._sweep_strict) is bit-identical to the cond path when
+    coverage holds, and NaN-poisons the outputs when it cannot."""
+    monkeypatch.setenv("PALLAS_INTERPRET", "1")
+    ref, srcs, rels, depths, weights = _scene(rng)
+    mod = _Sweep(impl="flax", warp_impl="pallas")
+    params = mod.init(jax.random.PRNGKey(0), depths, ref, srcs, rels,
+                      weights)
+    d0, c0 = mod.apply(params, depths, ref, srcs, rels, weights)
+    monkeypatch.setenv("SWEEP_STRICT", "1")
+    d1, c1 = mod.apply(params, depths, ref, srcs, rels, weights)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    # coverage failure -> NaN-poisoned output (coverage is hard to break
+    # with real geometry — off-image footprints are trivially covered —
+    # so force the flag)
+    import deep3d_aerial_tpu.ops.pallas_sweep as ps
+    from deep3d_aerial_tpu.models import cascade
+
+    real = ps.sweep_cost_chunk_pallas
+
+    def uncovered(*a, **kw):
+        cost, _ = real(*a, **kw)
+        return cost, jnp.bool_(False)
+
+    monkeypatch.setattr(cascade, "sweep_cost_chunk_pallas", uncovered,
+                        raising=False)
+    monkeypatch.setattr(ps, "sweep_cost_chunk_pallas", uncovered)
+    db, _ = mod.apply(params, depths, ref, srcs, rels, weights)
+    assert np.isnan(np.asarray(db)).any()
+
+
 @pytest.mark.parametrize("shards", [1, 2])
 def test_handoff_matches_xla_flax(rng, monkeypatch, shards):
     monkeypatch.setenv("PALLAS_INTERPRET", "1")

@@ -1,0 +1,54 @@
+"""Channel-first full-res feature path (feature_net.multi_view_features)
+== the vmap/NHWC path, end to end through the whole model.
+
+The CF path is the 1856x2752 memory fix (NHWC feature maps lane-pad
+16-51x at full res — docs/PERF.md round-3); it must be numerically
+identical at any size, so equivalence is checked at test size by forcing
+the loop threshold to 0."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep3d_aerial_tpu.models import build_model, feature_net
+from tests.test_models import DMAX, DMIN, make_inputs, tiny_kwargs
+
+
+@pytest.mark.parametrize("name,warp", [
+    ("adamvs", "xla"),
+    ("adamvs", "pallas"),
+    ("msrednet", "xla"),
+])
+def test_cf_feature_path_matches_vmap(rng, monkeypatch, name, warp):
+    if warp == "pallas":
+        monkeypatch.setenv("PALLAS_INTERPRET", "1")
+    imgs, projs = make_inputs(rng)
+    kw = dict(tiny_kwargs(name), warp_impl=warp)
+    model = build_model(name, **kw)
+    params = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
+    ref = model.apply(params, imgs, projs, DMIN, DMAX)
+
+    monkeypatch.setattr(feature_net, "FEATS_LOOP_THRESHOLD", 0)
+    cf = model.apply(params, imgs, projs, DMIN, DMAX)
+    atol = 2e-3 if warp == "pallas" else 1e-4
+    np.testing.assert_allclose(np.asarray(cf["depth"]),
+                               np.asarray(ref["depth"]),
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cf["photometric_confidence"]),
+                               np.asarray(ref["photometric_confidence"]),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_cf_param_tree_matches_vmap(rng, monkeypatch):
+    """Loop-mode params are checkpoint-interchangeable with vmap-mode
+    (same tree, same shapes)."""
+    imgs, projs = make_inputs(rng)
+    model = build_model("adamvs", **tiny_kwargs("adamvs"))
+    p_vmap = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
+    monkeypatch.setattr(feature_net, "FEATS_LOOP_THRESHOLD", 0)
+    p_loop = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
+    a = jax.tree.map(lambda x: x.shape, p_vmap)
+    b = jax.tree.map(lambda x: x.shape, p_loop)
+    assert a == b
