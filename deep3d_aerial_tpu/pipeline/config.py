@@ -60,6 +60,11 @@ class PipelineConfig:
     # splitting) or 'bfloat16' (the measured-best throughput config;
     # geometry stays f32 either way)
     compute_dtype: str = "float32"
+    # strict kernel coverage: drop the in-graph XLA gather fallback (its
+    # lane-padded buffers cannot compile at full-res — docs/PERF.md) and
+    # NaN-poison on coverage miss (zeroed + warned by dense_match).
+    # None = auto: strict at full-res frame sizes, cond-fallback below
+    strict_coverage: Optional[bool] = None
     # emit <name>_normal.pfm (normals from predicted depth) next to each
     # depth map — the optional normal-aware fusion input
     # (reference fusion_3d_normal.py:191-195)
@@ -132,7 +137,7 @@ class PipelineConfig:
                            "allow_random_weights", "display_depth",
                            "warp_precision", "save_normals", "save_dmap",
                            "warp_impl", "red_impl", "compute_dtype",
-                           "infer_batch_size"],
+                           "infer_batch_size", "strict_coverage"],
             "FUSION": ["run_depth_fusion", "fusion_num", "geo_consist_num",
                        "photomatric_threshold", "position_threshold",
                        "depth_threshold", "normal_threshold", "pc_format"],

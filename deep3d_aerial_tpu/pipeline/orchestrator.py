@@ -155,6 +155,20 @@ class AerialPipeline:
                 getattr(cfg, "compute_dtype", "float32")])
         if cfg.model_type in ("adamvs", "msrednet"):
             kwargs["red_impl"] = getattr(cfg, "red_impl", "pallas")
+        # full-res frames: the in-graph XLA gather fallback of the kernel
+        # coverage cond cannot even COMPILE (its lane-padded buffers
+        # exceed HBM — docs/PERF.md full-res notes), so large frames run
+        # strict (no fallback, NaN poison on coverage miss; NaNs are
+        # zeroed below = the reference's invalid-depth convention)
+        import os as _os
+
+        from ..models.feature_net import FEATS_LOOP_THRESHOLD
+
+        strict_cfg = getattr(cfg, "strict_coverage", None)
+        est_px = (cfg.max_h or 0) * (cfg.max_w or 0)
+        strict = bool(strict_cfg) or (strict_cfg is None
+                                      and est_px >= FEATS_LOOP_THRESHOLD)
+        _os.environ["SWEEP_STRICT"] = "1" if strict else "0"
         model = build_model(cfg.model_type, **kwargs)
         sample0 = ds.build(0)
         if params is None:
@@ -217,6 +231,15 @@ class AerialPipeline:
             )
             depth = np.asarray(depth, np.float32)
             conf = np.asarray(conf, np.float32)
+            if not np.isfinite(depth).all():
+                # strict-coverage NaN poison (or numeric blowup): zero the
+                # bad pixels — depth 0 = invalid in the reference contract
+                # (fusion masks depth <= 0) — and say so
+                bad = ~np.isfinite(depth)
+                print(f"[mvs] WARNING: {int(bad.sum())} non-finite depth "
+                      f"px in batch {idxs} (coverage miss?); zeroed")
+                depth = np.where(bad, 0.0, depth)
+                conf = np.where(bad | ~np.isfinite(conf), 0.0, conf)
             normals = None
             if cfg.save_normals:
                 # normals from predicted depth (camera frame), stored in

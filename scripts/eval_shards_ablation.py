@@ -1,7 +1,15 @@
-"""Blocked-recurrence inference ablation (docs/ACCURACY.md): val metrics
-at depth_shards 1/2/4 with a shards=1-trained checkpoint. Negative result
-kept reproducible: blocking the GRU recurrence at inference time is NOT a
-free speed knob — train with the blocking you shard with.
+"""Blocked-recurrence ('sp') inference ablation (docs/ACCURACY.md): val
+metrics at depth_shards 1/2/4 for a given checkpoint.
+
+Round-2 finding (negative, kept reproducible): raising depth_shards at
+INFERENCE on a shards=1-trained checkpoint wrecks the scores — blocking
+the GRU recurrence is a train-time model spec. Round 3 adds the positive
+direction: a shards=2-TRAINED checkpoint evaluated at its own blocking
+(set TS_SHARDS_LIST=2 TS_CKPT_DIR=<sp2 run>).
+
+Env: TS_CKPT_DIR (default synthetic_adamvs_256), TS_VIEWS/TS_H/TS_W/
+TS_NDEPTHS/TS_NUM_DEPTH (default the toy point), TS_SHARDS_LIST
+(default "1,2,4"), TS_VAL_SCENES.
 
 Runs on CPU (forced) so it can execute alongside a chip job."""
 import os
@@ -21,26 +29,35 @@ import json
 
 import numpy as np
 
-from scripts.train_synthetic import batches_of, make_sample
+from scripts.train_synthetic import batches_of, make_samples_parallel
 from deep3d_aerial_tpu.models import build_model
 from deep3d_aerial_tpu.train.checkpoint import (best_checkpoint,
                                                 restore_checkpoint)
 from deep3d_aerial_tpu.train.trainer import Trainer, TrainerConfig
 
-V, H, W, n_val, num_depth = 3, 64, 96, 8, 64
-rng = np.random.default_rng(7)
-val_s = [make_sample(rng, 9000 + i, V, H, W) for i in range(n_val)]
+V = int(os.environ.get("TS_VIEWS", "3"))
+H = int(os.environ.get("TS_H", "64"))
+W = int(os.environ.get("TS_W", "96"))
+n_val = int(os.environ.get("TS_VAL_SCENES", "8"))
+num_depth = int(os.environ.get("TS_NUM_DEPTH", "64"))
+ndepths = tuple(int(x) for x in
+                os.environ.get("TS_NDEPTHS", "16,8,8").split(","))
+shards_list = tuple(int(x) for x in
+                    os.environ.get("TS_SHARDS_LIST", "1,2,4").split(","))
+
+val_s = make_samples_parallel([9000 + i for i in range(n_val)], V, H, W)
 val_b = batches_of(val_s, 1)
 interval = float(np.mean([s["depth_max"] - s["depth_min"]
                           for s in val_s])) / num_depth
 
-ck = best_checkpoint(os.environ.get("TS_CKPT_DIR", "/root/repo/checkpoints/synthetic_adamvs_256"))
+ck = best_checkpoint(os.environ.get(
+    "TS_CKPT_DIR", "/root/repo/checkpoints/synthetic_adamvs_256"))
 print("ckpt:", ck)
 params = restore_checkpoint(ck)["params"]
 
 results = {}
-for shards in (1, 2, 4):
-    model = build_model("adamvs", ndepths=(16, 8, 8), num_depth=num_depth,
+for shards in shards_list:
+    model = build_model("adamvs", ndepths=ndepths, num_depth=num_depth,
                         depth_shards=shards)
     tr = Trainer(model, TrainerConfig(min_interval=interval, tb_logdir=None),
                  steps_per_epoch=1)
