@@ -177,9 +177,20 @@ def main():
             agree.append(np.mean(np.abs(est[v] - gt[v]) / gt[v] < 0.01))
         rmse = surface_rmse(
             cloud, lambda x, y: terrain_z(x, y, seed)) if len(cloud) else None
+        # the BASELINE acceptance is on the FUSED cloud: fraction of fused
+        # points within 1% relative depth of the true surface (cameras at
+        # z ~= 100, so depth ~= 100 - z). The per-pixel depth-map number
+        # (rel_1pct_agreement) is the stricter unfiltered metric.
+        fused_agree = None
+        if len(cloud):
+            dz = np.abs(cloud[:, 2]
+                        - terrain_z(cloud[:, 0], cloud[:, 1], seed))
+            fused_agree = float(np.mean(
+                dz < 0.01 * np.maximum(100.0 - cloud[:, 2], 1.0)))
         results[label] = {
             "depth_mae": float(np.mean(errs)),
             "rel_1pct_agreement": float(np.mean(agree)),
+            "fused_rel_1pct_agreement": fused_agree,
             "fused_points": int(len(cloud)),
             "fused_surface_rmse_trim95": rmse,
         }

@@ -205,12 +205,13 @@ def main():
         seed_counter = [1000 + n_train]
 
         def _producer():
-            prng = np.random.default_rng(11)
             while True:
                 s0 = seed_counter[0]
                 seed_counter[0] += n_train
-                scenes = [make_sample(prng, s0 + i, V, H, W)
-                          for i in range(n_train)]
+                # process-parallel render: serial generation at the
+                # reference-scale point (~7 s/scene) would starve the chip
+                scenes = make_samples_parallel(
+                    [s0 + i for i in range(n_train)], V, H, W)
                 q.put(batches_of(scenes, bs))
 
         threading.Thread(target=_producer, daemon=True).start()
@@ -235,7 +236,9 @@ def main():
         os.path.join(os.path.dirname(__file__), "..", "checkpoints",
                      os.environ.get("TS_CKPT", f"synthetic_{model_name}")))
     tcfg = TrainerConfig(
-        lr=8e-4, lr_epochs=f"{epochs * 2 // 3},{epochs * 5 // 6}:2",
+        lr=float(os.environ.get("TS_LR", "8e-4")),
+        lr_epochs=os.environ.get(
+            "TS_LR_EPOCHS", f"{epochs * 2 // 3},{epochs * 5 // 6}:2"),
         epochs=epochs, batch_size=bs, min_interval=interval,
         ckpt_dir=ckpt_dir, log_every=10, optimizer="adam",
         pair_weight=1.0 if model_name == "adamvs" else 0.0,
