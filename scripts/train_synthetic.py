@@ -46,9 +46,24 @@ def terrain_z(x, y, seed):
 def texture(x, y, seed):
     rng = np.random.default_rng(seed + 1)
     ph = rng.uniform(0, 6.28, 4)
-    return (0.5 + 0.2 * np.sin(0.9 * x + ph[0]) * np.cos(0.7 * y + ph[1])
-            + 0.2 * np.sin(0.31 * x + 1.3 * y + ph[2])
-            + 0.1 * np.sin(2.3 * x + ph[3]))
+    t = (0.5 + 0.2 * np.sin(0.9 * x + ph[0]) * np.cos(0.7 * y + ph[1])
+         + 0.2 * np.sin(0.31 * x + 1.3 * y + ph[2])
+         + 0.1 * np.sin(2.3 * x + ph[3]))
+    if os.environ.get("TS_TEX", "legacy") == "rich":
+        # high-frequency octaves (0.15-0.8 m wavelengths): real aerial
+        # imagery is richly textured at the GSD; the legacy 3-sinusoid
+        # texture has nothing to match below ~2.7 m wavelength, which
+        # caps fine-interval (0.09 m) convergence — the round-3 plateau
+        # (docs/ACCURACY.md)
+        ph2 = rng.uniform(0, 6.28, 6)
+        fr = rng.uniform(0.85, 1.15, 6)
+        t = (t + 0.12 * np.sin(8.1 * fr[0] * x + ph2[0])
+             * np.cos(7.3 * fr[1] * y + ph2[1])
+             + 0.10 * np.sin(17.0 * fr[2] * x + 13.0 * fr[3] * y + ph2[2])
+             + 0.08 * np.sin(41.0 * fr[4] * x + ph2[3])
+             * np.sin(37.0 * fr[5] * y + ph2[4])
+             + 0.05 * np.sin(23.0 * (x + y) * fr[0] + ph2[5]))
+    return t
 
 
 def render(pose, K, W, H, seed):
@@ -230,6 +245,10 @@ def main():
     if model_name in ("adamvs", "msrednet"):
         extra["depth_shards"] = depth_shards
         extra["red_impl"] = red_impl
+        # smaller scan chunks shrink the live warp buffers (the sp2
+        # training graph at 384x512 misses the HBM budget by 47 MB at
+        # chunk=8 — the batched-block backward doubles the chunk volume)
+        extra["plane_chunk"] = int(os.environ.get("TS_CHUNK", "8"))
     model = build_model(model_name, ndepths=ndepths, num_depth=num_depth,
                         **extra)
     ckpt_dir = os.path.abspath(
