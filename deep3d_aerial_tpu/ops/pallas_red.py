@@ -42,6 +42,7 @@ the sweep-cost kernel and is transposed once per plane in XLA.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Tuple
 
 import jax
@@ -54,8 +55,15 @@ from jax.experimental.pallas import tpu as pltpu
 #   DMA row slices — offset AND size — aligned to the sublane tiling of 8)
 HF = 16   # full-res halo rows each side
 HH = 8    # half-res halo
-BF = 8    # full-res band rows per matmul
-BH = 4    # half-res band rows per matmul
+# Band rows per matmul: each conv is one MXU matmul per band, so the band
+# loop runs R/BF (resp. R2/BH) iterations per pass — the kernel's
+# iteration count, and at C=8/16 the matmul row count (C*B), are both set
+# here. BF=8/BH=4 give 64-row matmuls (validated defaults); RED_BF=16 /
+# RED_BH=8 halve the loop trip count with 128-row matmuls (A/B knob —
+# every strip satisfies R % BF == 0 because _pick_strip keeps T % 16 == 0
+# and the halos are 32/16 rows).
+BF = int(os.environ.get("RED_BF", "8"))   # full-res band rows per matmul
+BH = int(os.environ.get("RED_BH", "4"))   # half-res band rows per matmul
 G = 8     # guard rows above the data (DMA dst offsets stay 8-aligned;
           # in-kernel vector loads may still read the row at slot -1)
 

@@ -33,11 +33,20 @@ def build_workspace(ws, scene_seed, n_grid=3, W_IMG=96, H_IMG=64):
     poses, gt_depths, iid = {}, {}, 1
     img_dir = os.path.join(ws, "images")
     os.makedirs(img_dir, exist_ok=True)
+    # Grid spacing in meters. The legacy 10 m spacing at 100 m height is
+    # depth-INSENSITIVE (~0.7 px/m at W=512): one 1%-relative depth step
+    # moves features < 1 px, capping achievable agreement regardless of
+    # the model (see train_synthetic.make_sample 'wide' note). Default
+    # tracks the footprint (0.55 half-footprints between neighbors, ~65%
+    # overlap — a realistic survey); TS_EVAL_SPACING overrides.
+    half_fp = (W_IMG / 2) / f * 100.0
+    spacing = float(os.environ.get("TS_EVAL_SPACING",
+                                   str(round(0.55 * half_fp, 2))))
     for gy in range(n_grid):
         for gx in range(n_grid):
             R = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
-            c = np.array([(gx - (n_grid - 1) / 2) * 10.0,
-                          (gy - (n_grid - 1) / 2) * 10.0, 100.0])
+            c = np.array([(gx - (n_grid - 1) / 2) * spacing,
+                          (gy - (n_grid - 1) / 2) * spacing, 100.0])
             pose = Pose(R, -R @ c)
             poses[iid] = pose
             img, depth = render(pose, K, W_IMG, H_IMG, scene_seed)

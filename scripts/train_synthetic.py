@@ -66,7 +66,7 @@ def texture(x, y, seed):
     return t
 
 
-def render(pose, K, W, H, seed):
+def render(pose, K, W, H, seed, aa=None):
     gx, gy = np.meshgrid(np.arange(W, dtype=np.float64),
                          np.arange(H, dtype=np.float64))
     Kinv = np.linalg.inv(K)
@@ -77,8 +77,38 @@ def render(pose, K, W, H, seed):
         w = t + rays * depth[..., None]
         depth = (terrain_z(w[..., 0], w[..., 1], seed) - t[2]) / rays[..., 2]
     w = t + rays * depth[..., None]
-    img = np.clip(texture(w[..., 0], w[..., 1], seed), 0, 1)
+    if aa is None:
+        aa = int(os.environ.get("TS_AA", "3"))
+    if aa <= 1:
+        img = np.clip(texture(w[..., 0], w[..., 1], seed), 0, 1)
+    else:
+        # Pixel-footprint antialiasing: a camera integrates radiance over
+        # the pixel, so point-sampling the texture turns any near-Nyquist
+        # octave (TS_TEX=rich's 0.15-0.19 m wavelengths at the 384x512
+        # GSD of ~0.14 m/px) into VIEW-INCONSISTENT noise that actively
+        # hurts matching. Box-average an aa x aa subpixel grid at the
+        # converged depth (depth varies negligibly within one footprint).
+        e_u = Kinv.T[0] @ pose.R_wc.T
+        e_v = Kinv.T[1] @ pose.R_wc.T
+        offs = (np.arange(aa) + 0.5) / aa - 0.5
+        img = np.zeros((H, W))
+        for du in offs:
+            for dv in offs:
+                wo = t + (rays + du * e_u + dv * e_v) * depth[..., None]
+                img += texture(wo[..., 0], wo[..., 1], seed)
+        img = np.clip(img / (aa * aa), 0, 1)
     return img.astype(np.float32), depth.astype(np.float32)
+
+
+def _look_at(center, target):
+    """R_cw rows = camera axes in world coords, +z toward `target`,
+    up-hint keeping the nadir limit at the canonical XrightYdown frame."""
+    z = target - center
+    z = z / np.linalg.norm(z)
+    x = np.cross(np.array([0.0, -1.0, 0.0]), z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z])
 
 
 def make_sample(rng, scene_seed, V, H, W):
@@ -91,25 +121,64 @@ def make_sample(rng, scene_seed, V, H, W):
     # the reference-like ~20 deg half-FOV at every training resolution
     f = 130.0 * (W / 96.0)
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
-    # oblique ring: ref nadir-ish + tilted sources
     imgs, projs = [], []
     depth_gt = None
     grid_style = rng.random() < 0.5  # half the scenes mimic nadir surveys
+    wide = os.environ.get("TS_GEOM", "wide") == "wide"
+    # Depth sensitivity is set by the base-to-height ratio: d(disparity)/
+    # d(depth) ~= f * baseline / depth^2. The legacy ring (offsets <= ~14 m
+    # at 100 m height) gives ~0.8 px/m at W=512 — one hypothesis interval
+    # (0.09 m) is 0.07 px of parallax, so fine-interval accuracy was
+    # GEOMETRY-capped, not model-capped (the round-3 plateau). Real aerial
+    # surveys (WHU: ~60-80% overlap) fly ~0.3-0.6 footprint baselines;
+    # 'wide' mimics that: sources on a ring of ~0.55-0.9x the half-
+    # footprint, AIMED at the scene (real oblique rigs point their
+    # cameras), ~1.5-2.3 px/m — while keeping every source's view overlap.
+    half_fp = (W / 2) / f * 100.0  # ~37 m half-footprint at 100 m
+    ref_xy = np.zeros(2)
     for v in range(V):
+        h = rng.uniform(90, 110)
         if grid_style:
+            if wide:
+                # survey row: sources ring the REFERENCE view at 0.35-0.7
+                # half-footprints (the ~60-80% overlap the reference's
+                # covisibility-scored view selection would pick), instead
+                # of independent uniform draws whose corner pairs barely
+                # overlap
+                if v == 0:
+                    cx, cy = rng.uniform(-6, 6, 2)
+                    ref_xy = np.array([cx, cy])
+                else:
+                    yaw = rng.uniform(0, 2 * np.pi)
+                    r = rng.uniform(0.35, 0.7) * half_fp
+                    cx = ref_xy[0] + r * np.cos(yaw)
+                    cy = ref_xy[1] + r * np.sin(yaw)
+            else:
+                cx = rng.uniform(-12, 12)
+                cy = rng.uniform(-12, 12)
             tilt = rng.uniform(0, 0.04)
-            cx = rng.uniform(-12, 12)
-            cy = rng.uniform(-12, 12)
         else:
-            tilt = rng.uniform(0.05, 0.25) if v else rng.uniform(0, 0.05)
-            yaw = rng.uniform(0, 2 * np.pi)
-            cx = 10 * np.cos(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
-            cy = 10 * np.sin(yaw) * tilt * 4 * (v > 0) + rng.uniform(-4, 4)
-        R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
-        ca, sa = np.cos(tilt), np.sin(tilt)
-        R_tilt = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
-        R_cw = R_tilt @ R_down
-        center = np.array([cx, cy, rng.uniform(90, 110)])
+            if v == 0:
+                cx, cy = rng.uniform(-4, 4, 2)
+                tilt = rng.uniform(0, 0.05)
+            else:
+                yaw = rng.uniform(0, 2 * np.pi)
+                r = (rng.uniform(0.55, 0.9) * half_fp if wide
+                     else 10 * rng.uniform(0.2, 1.0))
+                cx = r * np.cos(yaw) + rng.uniform(-4, 4)
+                cy = r * np.sin(yaw) + rng.uniform(-4, 4)
+                tilt = rng.uniform(0.05, 0.25)
+        center = np.array([cx, cy, h])
+        if wide and not grid_style and v > 0:
+            # aim at a jittered point near the scene center: the oblique
+            # ring keeps the reference view's ground area in frame
+            target = np.array([rng.uniform(-5, 5), rng.uniform(-5, 5), 0.0])
+            R_cw = _look_at(center, target)
+        else:
+            R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+            ca, sa = np.cos(tilt), np.sin(tilt)
+            R_tilt = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+            R_cw = R_tilt @ R_down
         pose = Pose(R_cw, -R_cw @ center)
         img, depth = render(pose, K, W, H, scene_seed)
         img = img + rng.normal(0, 0.01, img.shape)  # sensor noise
