@@ -298,7 +298,12 @@ class RedStep4(nn.Module):
 
         import jax
 
-        from ..ops.pallas_red4 import red_step4_fused, red_step4_ok
+        from ..ops.pallas_red4 import (
+            red_step4_fused,
+            red_step4_ok,
+            red_step4_tiled,
+            red_step4_tiled_ok,
+        )
 
         H, W, Cin = cost.shape[-3:]
         interp = (self.interpret
@@ -308,7 +313,14 @@ class RedStep4(nn.Module):
             and self.base == 8
             and (jax.default_backend() != "cpu" or interp)
         )
+        # whole-plane kernel in the VMEM tier; strip/slab-tiled
+        # composition (cf_conv kernels + exact XLA GN glue) at full-res
+        fn = None
         if backend_ok and red_step4_ok(H, W, Cin, self.dtype):
+            fn = red_step4_fused
+        elif backend_ok and red_step4_tiled_ok(H, W, Cin):
+            fn = red_step4_tiled
+        if fn is not None:
             params = self.variables["params"]
             precision = ("bf16" if jnp.dtype(self.dtype) == jnp.bfloat16
                          else "f32x3")
@@ -317,12 +329,12 @@ class RedStep4(nn.Module):
             if s1.ndim == 4:
                 # leading depth-block axis: unrolled kernel calls (the
                 # kernel is per-image; n is a small static block count)
-                outs = [red_step4_fused(params, cost[i], s1[i], s2[i],
-                                        s3[i], s4[i], **kw)
+                outs = [fn(params, cost[i], s1[i], s2[i],
+                           s3[i], s4[i], **kw)
                         for i in range(s1.shape[0])]
                 return tuple(jnp.stack([o[j] for o in outs])
                              for j in range(5))
-            return red_step4_fused(params, cost, s1, s2, s3, s4, **kw)
+            return fn(params, cost, s1, s2, s3, s4, **kw)
 
         # fallback: flax body on HWC layouts
         if s1.ndim == 4:

@@ -181,6 +181,25 @@ def _shift_r(x, W):
     return jnp.where(col > 0, r, 0.0)
 
 
+def _bf16_split(a):
+    """Fold-proof hi/lo split: hi = a with the low 16 mantissa bits
+    truncated (exactly bf16-representable), lo = a - hi (exact).
+
+    The obvious `a.astype(bf16).astype(f32)` split is NOT safe: XLA's
+    excess-precision simplifier may elide the f32->bf16->f32 round-trip
+    in one use of the value but keep it in another, silently destroying
+    the compensation (measured: a supposedly error-free f32x3 matmul
+    degraded to plain-bf16 error). Integer masking can't be folded."""
+    af = a.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(af, jnp.uint32)
+    # +0x8000 then truncate = round-half-up to the nearest bf16
+    # (mantissa carry propagates into the exponent exactly as RN does),
+    # keeping |lo| <= 2^-9 |a| like the convert-based split
+    hi = jax.lax.bitcast_convert_type(
+        (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi, af - hi
+
+
 def _mm(L_ref, X, precision):
     """[rows, K] @ [K, W] on the MXU; 'f32x3' = error-free bf16 split of
     both operands (see pallas_sweep._sel_dot)."""
@@ -191,12 +210,8 @@ def _mm(L_ref, X, precision):
 
     L = L_ref[...]
     if precision == "f32x3":
-        Lf = L.astype(jnp.float32)
-        Xf = X.astype(jnp.float32)
-        l_hi = Lf.astype(jnp.bfloat16).astype(jnp.float32)
-        l_lo = Lf - l_hi
-        x_hi = Xf.astype(jnp.bfloat16).astype(jnp.float32)
-        x_lo = Xf - x_hi
+        l_hi, l_lo = _bf16_split(L)
+        x_hi, x_lo = _bf16_split(X)
         return dot(l_hi, x_hi) + (dot(l_lo, x_hi) + dot(l_hi, x_lo))
     if precision == "bf16":
         return dot(L.astype(jnp.bfloat16), X.astype(jnp.bfloat16))
@@ -213,10 +228,9 @@ def _sel(X, S_ref, precision):
 
     S = S_ref[...]
     if precision == "f32x3":
-        Xf = X.astype(jnp.float32)
-        x_hi = Xf.astype(jnp.bfloat16).astype(jnp.float32)
-        return dot(x_hi, S.astype(jnp.float32)) + dot(Xf - x_hi,
-                                                      S.astype(jnp.float32))
+        x_hi, x_lo = _bf16_split(X)
+        Sf = S.astype(jnp.float32)
+        return dot(x_hi, Sf) + dot(x_lo, Sf)
     if precision == "bf16":
         return dot(X.astype(jnp.bfloat16), S.astype(jnp.bfloat16))
     return dot(X.astype(jnp.float32), S.astype(jnp.float32))

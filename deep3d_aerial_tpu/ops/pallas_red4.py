@@ -467,6 +467,169 @@ def _fused_fn(cfg):
     return f
 
 
+# --------------------------------------------------------------------------
+# tier-2: strip/slab-tiled composition (full-res planes)
+# --------------------------------------------------------------------------
+#
+# The whole-plane kernel above needs every pyramid buffer VMEM-resident;
+# production full-res planes (up to 1856x2752) instead run the step as a
+# composition of the strip-tiled channel-first conv kernels
+# (ops/pallas_cf_conv) with exact XLA glue for the GroupNorm statistics
+# (which are GLOBAL per plane — the reason the step cannot simply run the
+# tier-1 kernel over column slabs) and the gate/state pointwise math.
+# Every tensor stays channel-first [C, rows, W] end to end: the XLA ops
+# are pure elementwise/reduction work at perfect layouts, while all nine
+# convs + three deconvs + score head feed the MXU through the same kron
+# packing as tier-1.
+
+
+def _ceil16(n: int) -> int:
+    return -(-n // 16) * 16
+
+
+def red_step4_tiled_ok(H: int, W: int, Cin: int = 8) -> bool:
+    """Tier-2 applicability: the pyramid needs exact halvings down to /8
+    (the flax body handles odd sizes via crop, which the tiled kernels do
+    not reproduce); any plane too large for tier-1 but satisfying this
+    runs tiled."""
+    return H % 8 == 0 and W % 8 == 0 and H >= 32 and W >= 32
+
+
+def _mask_rows(x, Hl: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    return jnp.where(row < Hl, x, 0.0)
+
+
+def _pad_rows(x, Hp: int):
+    if x.shape[-2] == Hp:
+        return x
+    if x.shape[-2] > Hp:
+        return x[..., :Hp, :]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, Hp - x.shape[-2]), (0, 0)]
+    return jnp.pad(x, pad)
+
+
+def _gn_apply(pre, gn_params, Hl: int, Wl: int):
+    """GroupNorm(num_groups=1) over the LOGICAL (C, Hl, Wl) elements of a
+    channel-first map whose pad rows are zero (so plain full-array sums
+    are exact); returns f32, unmasked (caller masks after the
+    nonlinearity)."""
+    C = pre.shape[0]
+    x = pre.astype(jnp.float32)
+    N = C * Hl * Wl
+    m = jnp.sum(x) / N
+    v = jnp.maximum(jnp.sum(x * x) / N - m * m, 0.0)
+    inv = jax.lax.rsqrt(v + GN_EPS)
+    scale = gn_params["scale"].astype(jnp.float32).reshape(C, 1, 1)
+    bias = gn_params["bias"].astype(jnp.float32).reshape(C, 1, 1)
+    return (x - m) * inv * scale + bias
+
+
+def _forward_tiled(cfg, params, cost, s1, s2, s3, s4):
+    """cost NHWC [H, W, Cin]; states channel-first (tier-1 convention)."""
+    Cin, H, W, precision, interpret, dtype_name = cfg
+    dtype = jnp.dtype(dtype_name)
+    from .pallas_cf_conv import cf_conv3x3
+
+    p = params
+    Hs = (H, H // 2, H // 4, H // 8)
+    Ws = (W, W // 2, W // 4, W // 8)
+    Hp = tuple(_ceil16(h) for h in Hs)
+    kw = dict(dtype=dtype, precision=precision, interpret=interpret)
+
+    def neg_x(K, cx):
+        return K.astype(jnp.float32).at[:, :, :cx, :].multiply(-1.0)
+
+    # the model's leading negation (neg = -cost) folds into the weights of
+    # every consumer of the cost, exactly as in the tier-1 packing
+    x0 = _pad_rows(jnp.transpose(cost, (2, 0, 1)).astype(dtype), Hp[0])
+    d1 = cf_conv3x3(x0, neg_x(p["conv1"]["Conv_0"]["kernel"], Cin),
+                    p["conv1"]["Conv_0"]["bias"], mode="down", relu=True,
+                    img_h=Hs[0], **kw)
+    d1 = _pad_rows(d1, Hp[1])
+    d2 = _pad_rows(cf_conv3x3(d1, p["conv2"]["Conv_0"]["kernel"],
+                              p["conv2"]["Conv_0"]["bias"], mode="down",
+                              relu=True, img_h=Hs[1], **kw), Hp[2])
+    d3 = _pad_rows(cf_conv3x3(d2, p["conv3"]["Conv_0"]["kernel"],
+                              p["conv3"]["Conv_0"]["bias"], mode="down",
+                              relu=True, img_h=Hs[2], **kw), Hp[3])
+
+    X = (x0, d1, d2, d3)
+    hs = [_pad_rows(s.astype(dtype), Hp[l])
+          for l, s in enumerate((s1, s2, s3, s4))]
+
+    newh = []
+    for l, name in enumerate(("gru1", "gru2", "gru3", "gru4")):
+        g = p[name]
+        C = HIDDEN[l]
+        kg, kc = g["gates"]["kernel"], g["cand"]["kernel"]
+        if l == 0:
+            kg, kc = neg_x(kg, Cin), neg_x(kc, Cin)
+        gp = cf_conv3x3(jnp.concatenate([X[l], hs[l]], axis=0), kg,
+                        g["gates"]["bias"], mode="same", relu=False,
+                        img_h=Hs[l], **kw)
+        r = _mask_rows(jax.nn.sigmoid(
+            _gn_apply(gp[:C], g["rn"], Hs[l], Ws[l])), Hs[l])
+        u = jax.nn.sigmoid(_gn_apply(gp[C:], g["un"], Hs[l], Ws[l]))
+        hf = hs[l].astype(jnp.float32)
+        cp = cf_conv3x3(
+            jnp.concatenate([X[l], (r * hf).astype(dtype)], axis=0), kc,
+            g["cand"]["bias"], mode="same", relu=False, img_h=Hs[l], **kw)
+        o = jnp.tanh(_gn_apply(cp, g["on"], Hs[l], Ws[l]))
+        newh.append(_mask_rows(u * hf + (1.0 - u) * o,
+                               Hs[l]).astype(dtype))
+
+    up3 = p["upconv3"]["ConvTranspose_0"]
+    up2 = p["upconv2"]["ConvTranspose_0"]
+    up1 = p["upconv1"]["ConvTranspose_0"]
+    u3 = cf_conv3x3(newh[3], up3["kernel"], up3["bias"], mode="up",
+                    relu=True, img_h=Hs[3], **kw)[:, :Hp[2], :]
+    u2 = cf_conv3x3(u3 + newh[2], up2["kernel"], up2["bias"], mode="up",
+                    relu=True, img_h=Hs[2], **kw)[:, :Hp[1], :]
+    u1 = cf_conv3x3(u2 + newh[1], up1["kernel"], up1["bias"], mode="up",
+                    relu=True, img_h=Hs[1], **kw)[:, :Hp[0], :]
+    score = cf_conv3x3(u1 + newh[0], p["out2d"]["kernel"],
+                       p["out2d"]["bias"], mode="same", relu=False,
+                       img_h=Hs[0], **kw)
+    return ((score[0, :H, :],)
+            + tuple(h[:, :Hs[l], :] for l, h in enumerate(newh)))
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_fn(cfg):
+    dtype = jnp.dtype(cfg[5])
+
+    @jax.custom_vjp
+    def f(params, cost, s1, s2, s3, s4):
+        return _forward_tiled(cfg, params, cost, s1, s2, s3, s4)
+
+    def fwd(params, cost, s1, s2, s3, s4):
+        return (_forward_tiled(cfg, params, cost, s1, s2, s3, s4),
+                (params, cost, s1, s2, s3, s4))
+
+    def bwd(res, grads):
+        _, vjp = jax.vjp(
+            lambda pp, c, a, b, cc, d: red_step4_reference(
+                pp, c, a, b, cc, d, dtype=dtype), *res)
+        return vjp(grads)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def red_step4_tiled(
+    params, cost: jnp.ndarray, s1, s2, s3, s4,
+    *, dtype=jnp.float32, precision: str = "bf16", interpret: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Tier-2 fused RedStep4 (same calling convention and semantics as
+    red_step4_fused) for planes beyond the whole-plane VMEM tier.
+    Gradients flow through the flax VJP, exactly as in tier-1."""
+    H, W, Cin = cost.shape
+    assert s1.shape == (8, H, W), (s1.shape, cost.shape)
+    cfg = (Cin, H, W, precision, bool(interpret), jnp.dtype(dtype).name)
+    return _tiled_fn(cfg)(params, cost, s1, s2, s3, s4)
+
+
 def red_step4_fused(
     params, cost: jnp.ndarray, s1, s2, s3, s4,
     *, dtype=jnp.float32, precision: str = "bf16", interpret: bool = False,

@@ -89,10 +89,9 @@ def _sel_dot(rows2, SelX, precision):
 
     if precision != "f32x3":
         return dot(rows2, SelX)
-    r_hi = rows2.astype(jnp.bfloat16).astype(jnp.float32)
-    r_lo = rows2 - r_hi
-    s_hi = SelX.astype(jnp.bfloat16).astype(jnp.float32)
-    s_lo = SelX - s_hi
+    from .pallas_red import _bf16_split  # fold-proof split (see there)
+    r_hi, r_lo = _bf16_split(rows2)
+    s_hi, s_lo = _bf16_split(SelX)
     return dot(r_hi, s_hi) + (dot(r_lo, s_hi) + dot(r_hi, s_lo))
 
 

@@ -8,7 +8,9 @@ trap), so the oracle is computed in a separate env-stripped subprocess
 
 Usage:  python scripts/check_red4.py            # full: oracle + chip
         python scripts/check_red4.py --oracle   # (internal) oracle phase
-Env:    R4_H, R4_W, R4_CIN (default 384 512 8), R4_PREC (f32x3)
+Env:    R4_H, R4_W, R4_CIN (default 384 512 8), R4_PREC (f32x3),
+        R4_IMPL=fused|tiled (tier-1 whole-plane vs tier-2 strip/slab
+        composition — the full-res msrednet path)
 """
 
 import os
@@ -24,6 +26,7 @@ H = int(os.environ.get("R4_H", "384"))
 W = int(os.environ.get("R4_W", "512"))
 CIN = int(os.environ.get("R4_CIN", "8"))
 PREC = os.environ.get("R4_PREC", "f32x3")
+IMPL = os.environ.get("R4_IMPL", "fused")
 NPZ = f"/tmp/red4_oracle_{H}x{W}x{CIN}.npz"
 
 
@@ -74,13 +77,17 @@ def chip():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from deep3d_aerial_tpu.ops.pallas_red4 import red_step4_fused
+    from deep3d_aerial_tpu.ops.pallas_red4 import (
+        red_step4_fused,
+        red_step4_tiled,
+    )
 
     data = np.load(NPZ)
     with open(NPZ + ".params", "rb") as f:
         params = pickle.load(f)
     cost, states = make_case()
-    fn = jax.jit(lambda c, *s: red_step4_fused(
+    impl = red_step4_tiled if IMPL == "tiled" else red_step4_fused
+    fn = jax.jit(lambda c, *s: impl(
         params, c, *s, precision=PREC))
     outs = fn(jnp.asarray(cost), *map(jnp.asarray, states))
     ok = True
@@ -106,7 +113,7 @@ def chip():
     t1 = min(chain(1) for _ in range(2))
     t4 = min(chain(4) for _ in range(2))
     ms = (t4 - t1) / 3 * 1e3
-    print(f"[chip] fused red4 step @ {H}x{W} Cin={CIN}: {ms:.2f} ms/plane")
+    print(f"[chip] {IMPL} red4 step @ {H}x{W} Cin={CIN}: {ms:.2f} ms/plane")
     print("PARITY OK" if ok else "PARITY FAIL")
     sys.exit(0 if ok else 1)
 
