@@ -129,6 +129,35 @@ def restore_params_npz(path: str, like: Any = None) -> Any:
     return out
 
 
+def merge_matching_params(init: Any, warm: Any) -> tuple:
+    """Partial warm start: copy every leaf from `warm` whose key path
+    exists in `init` with the same shape; keep `init` elsewhere.
+
+    The reference's --loadckpt (train_whu.py:148-153) requires identical
+    architectures; here checkpoints port across operating points that
+    change a few shapes (e.g. the per-view 2D regularizer's first conv is
+    ndepths-dependent, so a 16/8/8 toy checkpoint warm-starts a 48/32/8
+    run everywhere except that conv). Returns (merged, n_ported,
+    n_skipped, skipped_paths)."""
+    import jax
+
+    warm_flat = dict(jax.tree_util.tree_flatten_with_path(warm)[0])
+    ported, skipped = [0], []
+
+    def pick(kpath, leaf):
+        w = warm_flat.get(kpath)
+        if w is not None and np.shape(w) == np.shape(leaf) and (
+                np.asarray(w).dtype.kind == np.asarray(leaf).dtype.kind):
+            ported[0] += 1
+            return w
+        if w is not None:
+            skipped.append(jax.tree_util.keystr(kpath))
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(pick, init)
+    return merged, ported[0], len(skipped), skipped
+
+
 def restore_params(path: str) -> Any:
     if str(path).endswith(".npz"):
         return restore_params_npz(path)

@@ -341,8 +341,13 @@ def main():
         from deep3d_aerial_tpu.train import checkpoint as _ckpt
 
         payload = _ckpt.restore_checkpoint(warm)
-        trainer.params = payload["params"]
-        print(f"[warm] loaded params from {warm}", flush=True)
+        merged, n_ok, n_skip, skipped = _ckpt.merge_matching_params(
+            trainer.params, payload["params"])
+        trainer.params = merged
+        print(f"[warm] loaded params from {warm} "
+              f"({n_ok} leaves ported, {n_skip} shape-mismatched kept at "
+              f"init{': ' + ', '.join(skipped[:4]) if skipped else ''})",
+              flush=True)
     before = trainer.evaluate(val_b)
     print(f"[eval] untrained: {before}", flush=True)
     t0 = time.time()

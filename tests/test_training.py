@@ -180,3 +180,29 @@ def test_best_checkpoint_selection(tmp_path):
     empty.mkdir()
     (empty / "model_000004").mkdir()
     assert best_checkpoint(str(empty)).endswith("model_000004")
+
+
+def test_merge_matching_params_partial_warm_start():
+    """Partial warm start ports shape-matched leaves and keeps init where
+    shapes differ (the ndepths-dependent per-view 2D regularizer conv —
+    a 16/8/8 toy checkpoint warm-starting a 48/32/8 run)."""
+    import numpy as np
+
+    from deep3d_aerial_tpu.train.checkpoint import merge_matching_params
+
+    init = {
+        "feat": {"kernel": np.zeros((3, 3, 8, 8), np.float32)},
+        "reg": {"kernel": np.zeros((3, 3, 48, 48), np.float32)},
+        "new_head": {"bias": np.zeros((4,), np.float32)},
+    }
+    warm = {
+        "feat": {"kernel": np.ones((3, 3, 8, 8), np.float32)},
+        "reg": {"kernel": np.ones((3, 3, 16, 16), np.float32)},
+        "old_head": {"bias": np.ones((2,), np.float32)},
+    }
+    merged, n_ok, n_skip, skipped = merge_matching_params(init, warm)
+    assert n_ok == 1 and n_skip == 1
+    assert merged["feat"]["kernel"].sum() == 3 * 3 * 8 * 8   # ported
+    assert merged["reg"]["kernel"].sum() == 0.0              # kept at init
+    assert merged["new_head"]["bias"].shape == (4,)          # init-only kept
+    assert "reg" in skipped[0]
