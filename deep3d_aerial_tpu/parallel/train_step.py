@@ -23,21 +23,38 @@ def make_optimizer(
     milestones: Sequence[int] = (),
     gamma: float = 0.5,
     kind: str = "rmsprop",
+    clip_norm: float = 0.0,
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
-    """RMSprop + multi-step LR decay (reference train_whu.py:131-163)."""
+    """RMSprop + multi-step LR decay (reference train_whu.py:131-163).
+
+    `clip_norm` > 0 adds global-norm gradient clipping and
+    `warmup_steps` > 0 a linear LR ramp from 0 — stabilizers the
+    reference lacks (its NaN-guard at train_whu.py:290-292 just skips
+    the step); the synthetic wide-baseline generator produces occasional
+    hard batches whose loss spikes destabilize RMSprop without them.
+    """
     if milestones:
         schedule = optax.piecewise_constant_schedule(
             lr, {int(m): gamma for m in milestones}
         )
     else:
-        schedule = lr
+        schedule = optax.constant_schedule(lr)
+    if warmup_steps > 0:
+        ramp = optax.linear_schedule(0.0, 1.0, warmup_steps)
+        base = schedule
+        schedule = lambda step: base(step) * ramp(step)  # noqa: E731
     if kind == "rmsprop":
-        return optax.rmsprop(schedule)
-    if kind == "adam":
-        return optax.adam(schedule)
-    if kind == "adamw":
-        return optax.adamw(schedule)
-    raise ValueError(f"unknown optimizer {kind!r}")
+        tx = optax.rmsprop(schedule)
+    elif kind == "adam":
+        tx = optax.adam(schedule)
+    elif kind == "adamw":
+        tx = optax.adamw(schedule)
+    else:
+        raise ValueError(f"unknown optimizer {kind!r}")
+    if clip_norm and clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip_norm)), tx)
+    return tx
 
 
 def make_train_step(

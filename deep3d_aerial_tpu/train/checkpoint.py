@@ -141,15 +141,30 @@ def merge_matching_params(init: Any, warm: Any) -> tuple:
     n_skipped, skipped_paths)."""
     import jax
 
+    import jax.numpy as jnp
+
     warm_flat = dict(jax.tree_util.tree_flatten_with_path(warm)[0])
     ported, skipped = [0], []
+
+    def _kind(x):
+        # ml_dtypes.bfloat16 has numpy kind 'V'; classify through jnp so
+        # bf16<->f32 ports are treated as float-to-float (and cast below)
+        # instead of silently skipped.
+        dt = jnp.asarray(x).dtype
+        if jnp.issubdtype(dt, jnp.floating):
+            return "f"
+        if jnp.issubdtype(dt, jnp.integer):
+            return "i"
+        return np.asarray(x).dtype.kind
 
     def pick(kpath, leaf):
         w = warm_flat.get(kpath)
         if w is not None and np.shape(w) == np.shape(leaf) and (
-                np.asarray(w).dtype.kind == np.asarray(leaf).dtype.kind):
+                _kind(w) == _kind(leaf)):
             ported[0] += 1
-            return w
+            # cast to the init leaf's dtype so a width mismatch (f16/bf16
+            # vs f32) can't change the param tree's dtype from init.
+            return jnp.asarray(w, jnp.asarray(leaf).dtype)
         if w is not None:
             skipped.append(jax.tree_util.keystr(kpath))
         return leaf

@@ -40,6 +40,9 @@ class TrainerConfig:
     ckpt_dir: str = "checkpoints"
     log_every: int = 50
     optimizer: str = "rmsprop"
+    # Stabilizers (see parallel.train_step.make_optimizer): 0 disables.
+    clip_norm: float = 0.0
+    warmup_steps: int = 0
     pair_weight: float = 1.0
     stage_weights: Sequence[float] = (0.5, 1.0, 2.0)
     # TensorBoard-compatible event logging (reference utils.py:117-147,
@@ -59,6 +62,8 @@ class Trainer:
             milestones=[m * steps_per_epoch for m in milestones],
             gamma=gamma,
             kind=cfg.optimizer,
+            clip_norm=cfg.clip_norm,
+            warmup_steps=cfg.warmup_steps,
         )
         self.step_fn = make_train_step(
             model, self.tx,

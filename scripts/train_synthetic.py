@@ -329,6 +329,10 @@ def main():
             "TS_LR_EPOCHS", f"{epochs * 2 // 3},{epochs * 5 // 6}:2"),
         epochs=epochs, batch_size=bs, min_interval=interval,
         ckpt_dir=ckpt_dir, log_every=10, optimizer="adam",
+        # defaults on: the r4 run showed loss spikes to 13-15 on the
+        # wide-baseline generator that clipping + a short warmup tame
+        clip_norm=float(os.environ.get("TS_CLIP", "3.0")),
+        warmup_steps=int(os.environ.get("TS_WARMUP", "200")),
         pair_weight=1.0 if model_name == "adamvs" else 0.0,
     )
     trainer = Trainer(model, tcfg, steps_per_epoch=len(train_b))
@@ -344,9 +348,14 @@ def main():
         merged, n_ok, n_skip, skipped = _ckpt.merge_matching_params(
             trainer.params, payload["params"])
         trainer.params = merged
+        import jax as _jax
+        n_warm = len(_jax.tree_util.tree_leaves(payload["params"]))
+        n_unmatched = n_warm - n_ok - n_skip
         print(f"[warm] loaded params from {warm} "
-              f"({n_ok} leaves ported, {n_skip} shape-mismatched kept at "
-              f"init{': ' + ', '.join(skipped[:4]) if skipped else ''})",
+              f"({n_ok} leaves ported, {n_skip} shape/dtype-mismatched "
+              f"kept at init, {n_unmatched} warm leaves with no matching "
+              f"init path"
+              f"{': ' + ', '.join(skipped[:4]) if skipped else ''})",
               flush=True)
     before = trainer.evaluate(val_b)
     print(f"[eval] untrained: {before}", flush=True)
