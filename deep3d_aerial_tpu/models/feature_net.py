@@ -110,6 +110,46 @@ FEATS_LOOP_THRESHOLD = int(_os.environ.get("FEATS_LOOP_THRESHOLD",
                                            str(2 ** 21)))
 
 
+class ViewStack:
+    """A logically-stacked [V, ...] view tensor kept as separate ref
+    ([...]) and srcs ([V-1, ...]) arrays so downstream feats[0]/feats[1:]
+    indexing costs no slice/relayout. Quacks like the stacked array for
+    the access patterns the models use (shape, dtype, [0], [1:])."""
+
+    __slots__ = ("ref", "srcs")
+
+    def __init__(self, ref, srcs):
+        self.ref = ref
+        self.srcs = srcs
+
+    @property
+    def shape(self):
+        return (self.srcs.shape[0] + 1,) + tuple(self.ref.shape)
+
+    @property
+    def dtype(self):
+        return self.ref.dtype
+
+    def __getitem__(self, idx):
+        if isinstance(idx, int):
+            if idx == 0:
+                return self.ref
+            return self.srcs[idx - 1]
+        if idx == slice(1, None):
+            return self.srcs
+        raise TypeError(f"ViewStack supports [int] and [1:], got {idx!r}")
+
+
+# pytree registration: ViewStacks ride through jit/vmap/custom_vjp (the
+# pair branch's _pair_volumes_pallas takes the stage-1 stack as a
+# custom_vjp argument)
+jax.tree_util.register_pytree_node(
+    ViewStack,
+    lambda v: ((v.ref, v.srcs), None),
+    lambda _, children: ViewStack(*children),
+)
+
+
 def multi_view_features(feature: FeatureNet, imgs):
     """Extract the 3-stage pyramid for every view.
 
@@ -139,6 +179,20 @@ def multi_view_features(feature: FeatureNet, imgs):
             variable_axes={"params": None},
             split_rngs={"params": False},
         )
+        if _os.environ.get("FEATS_SPLIT", "0") == "1":
+            # A/B lever (r5 trace): the stacked [V,H,W,C] output forces a
+            # feats[1:]/feats[0] slice + relayout pair downstream
+            # (slice.21339/21340 + copy.6001-class, ~2 ms/iter at the
+            # bench point). Running ref un-vmapped + srcs vmapped never
+            # materializes the stack; ViewStack keeps the [0]/[1:]
+            # consumer indexing. Same module instance twice -> shared
+            # params, identical tree to the vmap path (checkpoints
+            # interchangeable).
+            ref_stages = feature(imgs[0])
+            src_stages = Vmap(feature, imgs[1:])
+            return tuple(
+                ViewStack(r, s) for r, s in zip(ref_stages, src_stages)
+            ), (False, False, False)
         return Vmap(feature, imgs), (False, False, False)
 
     per_view = [feature(imgs[v]) for v in range(V)]

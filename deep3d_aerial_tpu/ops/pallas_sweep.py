@@ -57,6 +57,143 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _default_window() -> Tuple[int, int]:
+    """Kernel src-window size (rows, lanes). Resolved at TRACE time from
+    SWEEP_WIN="H,W" (same pattern as SWEEP_STRICT): the required window
+    scales with f*baseline/depth^2 disparity, so the pipeline sets it
+    per scene from estimate_window — the (32, 256) default covers the
+    bench geometry, NOT every production survey (the r5 full-res E2E
+    found a realistic f=3727 px survey needs (48, 512)+)."""
+    import os
+
+    spec = os.environ.get("SWEEP_WIN")
+    if spec:
+        h, w = (int(x) for x in spec.split(","))
+        return (h, w)
+    return (32, 256)
+
+
+def _default_nr() -> int:
+    """Per-output-row source-row tap count (SWEEP_NR env override)."""
+    import os
+
+    return int(os.environ.get("SWEEP_NR", "4"))
+
+
+def estimate_window(
+    rel_stages,          # [S, V-1, 4, 4] host array (per-stage rel projs)
+    depth_min: float,
+    depth_max: float,
+    image_hw: Tuple[int, int],   # full-res (H, W)
+    ndepths=(48, 32, 8),
+    ratios=(4.0, 2.0, 1.0),
+    num_depth: int = 384,
+    chunk: int = 8,
+    tile: Tuple[int, int] = (8, 128),
+):
+    """Host-side worst-case (WIN_H, WIN_W, NR) over all stages/views.
+
+    Mirrors chunk_origins_and_coverage's math in NumPy on tile-corner
+    grids: for every stage, src view, and depth-chunk endpoint pair, the
+    per-tile src-footprint span determines the window the kernel DMA
+    must fetch (x0 is quantized down to 128 lanes, so WIN_W pays up to
+    +127; y0 is free, +2 bilinear taps). Stage>=2 centers are data-
+    dependent (previous-stage depth), so centers sweep [dmin, dmax] —
+    conservative for smooth scenes, exact-bound for the constant-depth
+    worst case. Returns ladder-quantized sizes (W to 128 multiples, H to
+    8, NR even) for compile-cache stability.
+    """
+    import warnings
+
+    import numpy as np
+
+    H, W = image_hw
+    TH, TW = tile
+    interval = (depth_max - depth_min) / float(num_depth)
+    need_w, need_h, need_nr = 1, 1, 2
+    S = len(ndepths)
+    for s in range(S):
+        scale = 2 ** (S - 1 - s)
+        Hs, Ws = H // scale, W // scale
+        # tile corner grid (projective map extrema lie on tile edges)
+        gy = np.arange(0, _round_up(Hs, TH) + 1, TH, dtype=np.float64)
+        gx = np.arange(0, _round_up(max(Ws, TW), TW) + 1, TW, dtype=np.float64)
+        gy = np.clip(gy, 0, Hs - 1)
+        gx = np.clip(gx, 0, Ws - 1)
+        GX, GY = np.meshgrid(gx, gy)
+        nd = ndepths[s]
+        if s == 0:
+            centers = [None]
+            win_span = depth_max - depth_min
+        else:
+            centers = np.linspace(depth_min, depth_max, 5)
+            win_span = nd * ratios[s] * interval
+        for rel in np.asarray(rel_stages[s], np.float64):
+            r = rel.reshape(-1)[:12]
+            for c in centers:
+                lo = depth_min if c is None else max(
+                    depth_min * 0.5, c - win_span / 2)
+                hi = depth_max if c is None else c + win_span / 2
+                planes = np.linspace(lo, hi, nd)
+                for k0 in range(0, nd, chunk):
+                    dk = planes[k0:k0 + chunk]
+                    ds = np.array([dk[0], dk[-1]])[:, None, None]
+                    px = (r[0] * GX + r[1] * GY + r[2])[None] * ds + r[3]
+                    py = (r[4] * GX + r[5] * GY + r[6])[None] * ds + r[7]
+                    pz = (r[8] * GX + r[9] * GY + r[10])[None] * ds + r[11]
+                    ok = pz > 1e-6
+                    if not ok.any():
+                        continue
+                    x = np.where(ok, px / np.where(ok, pz, 1.0), np.nan)
+                    y = np.where(ok, py / np.where(ok, pz, 1.0), np.nan)
+                    inb = ok & (x > -1) & (x < Ws) & (y > -1) & (y < Hs)
+                    if not inb.any():
+                        continue
+                    x = np.where(inb, x, np.nan)
+                    y = np.where(inb, y, np.nan)
+                    # per-tile extrema over the 4 corners x chunk planes
+                    def tile_minmax(a):
+                        quad = np.stack([a[:, :-1, :-1], a[:, :-1, 1:],
+                                         a[:, 1:, :-1], a[:, 1:, 1:]])
+                        lo_ = np.nanmin(np.nanmin(quad, axis=0), axis=0)
+                        hi_ = np.nanmax(np.nanmax(quad, axis=0), axis=0)
+                        return lo_, hi_
+                    with np.errstate(invalid="ignore"), \
+                            warnings.catch_warnings():
+                        # tiles with no in-image pixel are all-NaN ->
+                        # trivially covered; silence their nanmin warning
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        x_lo, x_hi = tile_minmax(x)
+                        y_lo, y_hi = tile_minmax(y)
+                        # mirror chunk_origins_and_coverage exactly:
+                        # x0 = floor(x_min) quantized DOWN to 128 lanes,
+                        # need = hi_tap - x0 + 1 taps; y0 = floor(y_min)
+                        x0t = np.floor(
+                            np.nan_to_num(x_lo, nan=0.0)) // 128 * 128
+                        w_req = (np.floor(np.nan_to_num(x_hi, nan=0.0))
+                                 + 1 - x0t + 1)
+                        w_req = np.where(np.isnan(x_lo), 0, w_req)
+                        h_req = (np.floor(np.nan_to_num(y_hi, nan=0.0))
+                                 - np.floor(np.nan_to_num(y_lo, nan=0.0))
+                                 + 2)
+                        h_req = np.where(np.isnan(y_lo), 0, h_req)
+                        # per-row span: y across one tile row (both chunk
+                        # endpoint planes budget NR independently)
+                        row_hi = np.nanmax(np.stack(
+                            [y[:, :, :-1], y[:, :, 1:]]), axis=0)
+                        row_lo = np.nanmin(np.stack(
+                            [y[:, :, :-1], y[:, :, 1:]]), axis=0)
+                        rspan = np.nan_to_num(
+                            (row_hi - row_lo), nan=0.0).max()
+                    need_w = max(need_w, int(w_req.max()))
+                    need_h = max(need_h, int(h_req.max()))
+                    need_nr = max(need_nr, int(np.ceil(rspan)) + 2)
+    win_w = max(256, _round_up(need_w, 128))
+    win_h = max(32, _round_up(need_h, 8))
+    nr = max(4, _round_up(need_nr, 2))
+    return win_h, win_w, nr
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -294,8 +431,8 @@ def sweep_corr_chunk_pallas(
     rel: jnp.ndarray,        # [4, 4] / [3, 4] relative projection
     depths: jnp.ndarray,     # [K, H, W] depth planes
     tile: Tuple[int, int] = (8, 128),
-    window: Tuple[int, int] = (32, 256),
-    nr: int = 4,
+    window: Optional[Tuple[int, int]] = None,  # None -> SWEEP_WIN env
+    nr: Optional[int] = None,                  # None -> SWEEP_NR env
     precision: str = "f32x3",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -318,6 +455,8 @@ def sweep_corr_chunk_pallas(
         src_feat = _pad_hw(src_feat, H, W, axes=(0, 1))
         depths = _pad_hw(depths, H, W, axes=(1, 2))
     ref_valid = (Himg, Wimg) if (H, W) != (Himg, Wimg) else None
+    window = window or _default_window()
+    nr = nr or _default_nr()
     WIN_H, WIN_W = min(window[0], H), min(window[1], W)
     WIN_W = max(128, (WIN_W // 128) * 128)
     n_th, n_tw = H // TH, W // TW
@@ -562,8 +701,8 @@ def sweep_cost_chunk_prepared(
     depths: jnp.ndarray,      # [K, Himg, Wimg] (true-size depth planes)
     mode: str = "corr",       # 'corr' (AdaMVS weighted) | 'variance'
     tile: Tuple[int, int] = (8, 128),
-    window: Tuple[int, int] = (32, 256),
-    nr: int = 4,
+    window: Optional[Tuple[int, int]] = None,  # None -> SWEEP_WIN env
+    nr: Optional[int] = None,                  # None -> SWEEP_NR env
     precision: str = "f32x3",
     interpret: bool = False,
     out_layout: str = "khwc",  # 'khwc' | 'kchw' (channel-first)
@@ -602,6 +741,8 @@ def sweep_cost_chunk_prepared(
     if (H, W) != (Himg, Wimg):
         depths = _pad_hw(depths, H, W, axes=(1, 2))
     ref_valid = (Himg, Wimg) if (H, W) != (Himg, Wimg) else None
+    window = window or _default_window()
+    nr = nr or _default_nr()
     WIN_H, WIN_W = min(window[0], H), min(window[1], W)
     WIN_W = max(128, (WIN_W // 128) * 128)
     n_th, n_tw = H // TH, W // TW
@@ -680,8 +821,8 @@ def sweep_cost_chunk_pallas(
     weights: Optional[jnp.ndarray] = None,  # [V, H, W] (corr mode)
     mode: str = "corr",
     tile: Tuple[int, int] = (8, 128),
-    window: Tuple[int, int] = (32, 256),
-    nr: int = 4,
+    window: Optional[Tuple[int, int]] = None,  # None -> SWEEP_WIN env
+    nr: Optional[int] = None,                  # None -> SWEEP_NR env
     precision: str = "f32x3",
     interpret: bool = False,
     out_layout: str = "khwc",

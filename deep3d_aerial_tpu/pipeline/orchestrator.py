@@ -169,8 +169,33 @@ class AerialPipeline:
         strict = bool(strict_cfg) or (strict_cfg is None
                                       and est_px >= FEATS_LOOP_THRESHOLD)
         _os.environ["SWEEP_STRICT"] = "1" if strict else "0"
-        model = build_model(cfg.model_type, **kwargs)
         sample0 = ds.build(0)
+        if kwargs["warp_impl"] == "pallas" and "SWEEP_WIN" not in _os.environ:
+            # Size the sweep kernel's src windows for THIS survey's
+            # geometry: the (32, 256) default covers the bench scenes but
+            # not high-focal / wide-baseline production surveys (the r5
+            # full-res E2E hit a total coverage miss -> all-NaN maps).
+            # Estimated from the first samples' rel projections + depth
+            # ranges (host data, ladder-quantized for compile-cache
+            # stability), max over a small probe set.
+            from ..ops.pallas_sweep import estimate_window
+
+            wh, ww, nr = 32, 256, 4
+            for i in range(min(4, len(ds))):
+                s_i = sample0 if i == 0 else ds.build(i)
+                e_h, e_w, e_nr = estimate_window(
+                    s_i.rel_projs, float(s_i.depth_min),
+                    float(s_i.depth_max),
+                    tuple(np.asarray(s_i.imgs).shape[1:3]),
+                    ndepths=tuple(kwargs.get("ndepths", (48, 32, 8))),
+                    num_depth=cfg.num_depth,
+                )
+                wh, ww, nr = max(wh, e_h), max(ww, e_w), max(nr, e_nr)
+            _os.environ["SWEEP_WIN"] = f"{wh},{ww}"
+            _os.environ["SWEEP_NR"] = str(nr)
+            print(f"[mvs] sweep window sized for survey geometry: "
+                  f"WIN=({wh},{ww}) NR={nr}")
+        model = build_model(cfg.model_type, **kwargs)
         if params is None:
             params = self._load_params(model, sample0)
 
@@ -414,6 +439,17 @@ class AerialPipeline:
             if not fname.endswith(".ply"):
                 continue
             src = _join(self.fusion_path, fname)
+            from ..io.ply import read_ply as _read_ply
+
+            n_pts = _read_ply(src)[0].shape[0]
+            if n_pts < 4:
+                # an (all but) empty fused block cannot seed a Delaunay
+                # surface; meshing it would emit degenerate artifacts
+                # (found by the r5 full-res E2E when a coverage miss
+                # zeroed every depth map upstream)
+                print(f"[mesh] WARNING: skipping {fname}: only {n_pts} "
+                      f"fused points")
+                continue
             dst = _join(self.mesh_path, fname.replace(".ply", "_mesh.ply"))
             # prefer the visibility-driven graph-cut core when the block's
             # .mvs scene exists (OpenMVS ReconstructMesh equivalent)
@@ -534,7 +570,11 @@ class AerialPipeline:
                     pts.append(p)
             if not pts:
                 return None
-            grid = DSMFromPointCloud(dcfg).create(np.concatenate(pts), bbx)
+            allp = np.concatenate(pts)
+            if allp.shape[0] == 0:
+                print("[dsm] WARNING: no fused points; skipping DSM")
+                return None
+            grid = DSMFromPointCloud(dcfg).create(allp, bbx)
 
         out_tif = _join(self.dsm_path, "dsm.tif")
         write_geotiff(out_tif, grid, origin_xy=(bbx[0], bbx[3]),

@@ -52,3 +52,42 @@ def test_cf_param_tree_matches_vmap(rng, monkeypatch):
     a = jax.tree.map(lambda x: x.shape, p_vmap)
     b = jax.tree.map(lambda x: x.shape, p_loop)
     assert a == b
+
+
+@pytest.mark.parametrize("name", ["adamvs", "msrednet"])
+def test_split_feature_path_matches_vmap(rng, monkeypatch, name):
+    """FEATS_SPLIT=1 (ref un-vmapped + srcs vmapped, no stacked [V,...]
+    tensor — the r5 trace's slice/relayout lever) must match the default
+    vmap path bit-for-bit in params and numerically in outputs."""
+    monkeypatch.setenv("FEATS_SPLIT", "1")
+    imgs, projs = make_inputs(rng)
+    model = build_model(name, **tiny_kwargs(name))
+    p_split = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
+    out_split = model.apply(p_split, imgs, projs, DMIN, DMAX)
+
+    monkeypatch.delenv("FEATS_SPLIT")
+    p_vmap = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
+    assert (jax.tree.map(lambda x: x.shape, p_split)
+            == jax.tree.map(lambda x: x.shape, p_vmap))
+    out_vmap = model.apply(p_vmap, imgs, projs, DMIN, DMAX)
+    np.testing.assert_allclose(np.asarray(out_split["depth"]),
+                               np.asarray(out_vmap["depth"]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_split_feature_path_gradients(rng, monkeypatch):
+    """The split path must stay differentiable (pair branch custom_vjp
+    takes the stage-1 ViewStack as a pytree argument)."""
+    monkeypatch.setenv("FEATS_SPLIT", "1")
+    imgs, projs = make_inputs(rng)
+    model = build_model("adamvs", **tiny_kwargs("adamvs"))
+    params = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
+
+    def loss(p):
+        out = model.apply(p, imgs, projs, DMIN, DMAX)
+        return jnp.mean(out["depth"]) + jnp.mean(
+            out["stage1"]["pair_results"])
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
