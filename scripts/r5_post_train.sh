@@ -46,6 +46,14 @@ echo "=== FEATS_SPLIT A/B at bench point ===" | tee -a "$out"
 timeout 1800 env FEATS_SPLIT=1 python bench.py 2>>"$out.err" \
   | tail -1 | tee -a "$out"
 
+echo "=== bf16 mixed-precision train-throughput probe ===" | tee -a "$out"
+timeout 3000 env TS_MODEL=adamvs TS_VIEWS=5 TS_H=384 TS_W=512 \
+  TS_NDEPTHS=48,32,8 TS_NUM_DEPTH=384 TS_GEOM=wide TS_TEX=rich TS_BS=1 \
+  TS_EPOCHS=1 TS_TRAIN_SCENES=16 TS_VAL_SCENES=2 TS_FRESH=0 \
+  TS_WARP=pallas TS_RED=pallas TS_DTYPE=bfloat16 TS_CKPT=r5_probe_bf16 \
+  python scripts/train_synthetic.py > logs/train_r5_probe_bf16.log 2>&1
+grep -aE "step" logs/train_r5_probe_bf16.log | tail -3 | tee -a "$out"
+
 echo "=== full-res E2E rerun (adaptive windows) ===" | tee -a "$out"
 timeout 7200 python scripts/run_fullres_e2e.py >> "$out" 2>&1
 grep -a "\[e2e\]" "$out" | tail -8

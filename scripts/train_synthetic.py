@@ -311,6 +311,14 @@ def main():
     interval = float(np.mean(rngs)) / num_depth
 
     extra = {"warp_impl": warp_impl}
+    if os.environ.get("TS_DTYPE", "float32") == "bfloat16":
+        # mixed-precision training: bf16 compute (features/convs —
+        # flax param_dtype stays f32, geometry stays f32 by design), a
+        # lever on the XLA-formulation backward that bounds the step
+        # time (docs/PERF.md round-5 train-throughput note)
+        import jax.numpy as _jnp
+
+        extra["dtype"] = _jnp.bfloat16
     if model_name in ("adamvs", "msrednet"):
         extra["depth_shards"] = depth_shards
         extra["red_impl"] = red_impl
