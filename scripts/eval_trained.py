@@ -114,7 +114,13 @@ def run_pipe(ws, ckpt, label, W_IMG=96, H_IMG=64, view_num=3,
         min_interval=min_interval,
         model_type="adamvs",
         pretrain_weight=ckpt, allow_random_weights=ckpt is None,
-        fusion_num=4, geo_consist_num=3, photomatric_threshold=0.1,
+        # fusion strictness: defaults follow the REFERENCE production
+        # acceptance (config.yaml:28-34 — geo>=4, prob>0.2, 1 px, 1%);
+        # env knobs let ablations relax them (the round-3 evals ran
+        # geo>=3 / prob>0.1, looser than the reference's own filter)
+        fusion_num=int(os.environ.get("TS_EVAL_FUSION_NUM", "8")),
+        geo_consist_num=int(os.environ.get("TS_EVAL_GEO", "4")),
+        photomatric_threshold=float(os.environ.get("TS_EVAL_PROB", "0.2")),
         position_threshold=1.0, depth_threshold=0.01, normal_threshold=180.0,
         run_create_mesh=False, run_create_dsm=False,
     )

@@ -8,8 +8,12 @@ mkdir -p logs
 out=logs/r5_post_train.log
 : > "$out"
 
+# TS_TEX=rich: the eval scene must carry the same GSD-scale texture
+# statistics the generator was rebuilt for (real aerial imagery is
+# richly textured at the GSD — docs/ACCURACY.md round-3 diagnosis);
+# matches the training distribution.
 EVAL="TS_EVAL_W=512 TS_EVAL_H=384 TS_EVAL_VIEWS=5 TS_EVAL_NUM_DEPTH=384 \
-  TS_EVAL_NDEPTHS=48,32,8 TS_EVAL_MIN_INTERVAL=0.1"
+  TS_EVAL_NDEPTHS=48,32,8 TS_EVAL_MIN_INTERVAL=0.1 TS_TEX=rich TS_AA=3"
 
 echo "=== eval_trained @ ref512 r5 ===" | tee -a "$out"
 timeout 3600 env $EVAL TS_CKPT_DIR=checkpoints/synthetic_adamvs_ref512_r5 \
