@@ -39,6 +39,10 @@ class PipelineConfig:
     # cascade hypothesis counts; None -> the model's default (48, 32, 8).
     # Must match the trained checkpoint's architecture.
     ndepths: Optional[Sequence[int]] = None
+    # per-stage window ratios (reference predict.py:54-55 'depth_inter_r'
+    # analog); None -> the model default (4, 2, 1). Set alongside ndepths
+    # to match how the checkpoint was trained.
+    depth_ratios: Optional[Sequence[float]] = None
     pretrain_weight: Optional[str] = None
     # Explicit opt-in to run inference from random weights (capability /
     # shape testing only — outputs are statistically garbage). Without it,
@@ -133,7 +137,8 @@ class PipelineConfig:
                               "scene_block_size", "block_overlap",
                               "bbx_border_scene"],
             "DENSEMATCH": ["run_mvs", "view_num", "num_depth", "min_interval",
-                           "model_type", "ndepths", "pretrain_weight",
+                           "model_type", "ndepths", "depth_ratios",
+                           "pretrain_weight",
                            "allow_random_weights", "display_depth",
                            "warp_precision", "save_normals", "save_dmap",
                            "warp_impl", "red_impl", "compute_dtype",

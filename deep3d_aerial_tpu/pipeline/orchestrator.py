@@ -147,6 +147,9 @@ class AerialPipeline:
         kwargs = {"num_depth": cfg.num_depth}
         if cfg.ndepths:
             kwargs["ndepths"] = tuple(int(x) for x in cfg.ndepths)
+        if getattr(cfg, "depth_ratios", None):
+            kwargs["depth_interval_ratios"] = tuple(
+                float(x) for x in cfg.depth_ratios)
         # compute-path config (docs/PERF.md): fused kernels by default,
         # with in-graph fallbacks off-TPU / on unsupported shapes
         kwargs["warp_impl"] = getattr(cfg, "warp_impl", "pallas")

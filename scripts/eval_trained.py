@@ -102,7 +102,8 @@ def build_workspace(ws, scene_seed, n_grid=3, W_IMG=96, H_IMG=64):
 
 
 def run_pipe(ws, ckpt, label, W_IMG=96, H_IMG=64, view_num=3,
-             num_depth=64, ndepths=(16, 8, 8), min_interval=0.5):
+             num_depth=64, ndepths=(16, 8, 8), min_interval=0.5,
+             depth_ratios=None):
     from deep3d_aerial_tpu.io.pfm import read_pfm
     from deep3d_aerial_tpu.pipeline.config import PipelineConfig
     from deep3d_aerial_tpu.pipeline.orchestrator import AerialPipeline
@@ -111,6 +112,7 @@ def run_pipe(ws, ckpt, label, W_IMG=96, H_IMG=64, view_num=3,
         image_w=W_IMG, image_h=H_IMG, image_scale=1.0,
         scene_block_size=[60.0, 60.0, 120.0], block_overlap=2.0,
         view_num=view_num, num_depth=num_depth, ndepths=list(ndepths),
+        depth_ratios=list(depth_ratios) if depth_ratios else None,
         min_interval=min_interval,
         model_type="adamvs",
         pretrain_weight=ckpt, allow_random_weights=ckpt is None,
@@ -170,6 +172,9 @@ def main():
     ndepths = tuple(int(x) for x in
                     os.environ.get("TS_EVAL_NDEPTHS", "16,8,8").split(","))
     min_interval = float(os.environ.get("TS_EVAL_MIN_INTERVAL", "0.5"))
+    ratios_env = os.environ.get("TS_EVAL_RATIOS")
+    depth_ratios = (tuple(float(x) for x in ratios_env.split(","))
+                    if ratios_env else None)
     skip_random = os.environ.get("TS_EVAL_SKIP_RANDOM", "0") == "1"
     results = {}
     cases = [("trained", ckpt)] + ([] if skip_random else [("random", None)])
@@ -182,7 +187,8 @@ def main():
         gt_depths, _ = build_workspace(ws, seed, W_IMG=W_IMG, H_IMG=H_IMG)
         depths, cloud = run_pipe(ws, c, label, W_IMG=W_IMG, H_IMG=H_IMG,
                                  view_num=view_num, num_depth=num_depth,
-                                 ndepths=ndepths, min_interval=min_interval)
+                                 ndepths=ndepths, min_interval=min_interval,
+                                 depth_ratios=depth_ratios)
         errs, agree = [], []
         for iid, est in depths.items():
             gt = gt_depths[iid]
@@ -214,6 +220,8 @@ def main():
     out = {"checkpoint": ckpt, "eval_seed": seed,
            "operating_point": {"W": W_IMG, "H": H_IMG, "views": view_num,
                                "ndepths": list(ndepths),
+                               "depth_ratios": (list(depth_ratios)
+                                                if depth_ratios else None),
                                "num_depth": num_depth,
                                "min_interval": min_interval},
            **results}

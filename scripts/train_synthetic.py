@@ -311,6 +311,16 @@ def main():
     interval = float(np.mean(rngs)) / num_depth
 
     extra = {"warp_impl": warp_impl}
+    if os.environ.get("TS_RATIOS"):
+        # cascade window ratios (reference predict.py:54-55 analog).
+        # The r5 stage-localization probe (logs/stage_probe.log) showed
+        # the default (4,2,1) windows are narrower than stage-1's
+        # achievable accuracy at synthetic depth ranges (stage-2 window
+        # +-1.0 m vs stage-1 MAE 1.3-3.0 m -> truth escapes the cascade);
+        # wide-window training fixes the mismatch the reference's fixed
+        # min_interval=0.1 m avoids implicitly.
+        extra["depth_interval_ratios"] = tuple(
+            float(x) for x in os.environ["TS_RATIOS"].split(","))
     if os.environ.get("TS_DTYPE", "float32") == "bfloat16":
         # mixed-precision training: bf16 compute (features/convs —
         # flax param_dtype stays f32, geometry stays f32 by design), a
