@@ -215,7 +215,10 @@ def make_samples_parallel(seeds, V, H, W, workers=None):
     if len(args) <= 2 or (workers is not None and workers <= 1):
         return [_make_sample_seeded(a) for a in args]
     workers = workers or min(mp.cpu_count(), 8, len(args))
-    with mp.get_context("fork").Pool(workers) as pool:
+    # spawn, not fork: forking a multithreaded JAX process can deadlock
+    # a worker on a copied lock (observed: r5w run futex-stuck before
+    # the first eval); spawn re-imports but renders are seconds each
+    with mp.get_context(os.environ.get("TS_MP", "spawn")).Pool(workers) as pool:
         return pool.map(_make_sample_seeded, args)
 
 
