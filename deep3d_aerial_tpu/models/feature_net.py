@@ -179,7 +179,10 @@ def multi_view_features(feature: FeatureNet, imgs):
             variable_axes={"params": None},
             split_rngs={"params": False},
         )
-        if _os.environ.get("FEATS_SPLIT", "0") == "1":
+        # default ON: paired same-session A/B measured 19.58 vs 19.00
+        # maps/s at the bench point (r5; the slice/relayout pair the
+        # stacked output forces was ~2 ms/iter in the trace)
+        if _os.environ.get("FEATS_SPLIT", "1") == "1":
             # A/B lever (r5 trace): the stacked [V,H,W,C] output forces a
             # feats[1:]/feats[0] slice + relayout pair downstream
             # (slice.21339/21340 + copy.6001-class, ~2 ms/iter at the

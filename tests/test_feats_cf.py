@@ -65,7 +65,7 @@ def test_split_feature_path_matches_vmap(rng, monkeypatch, name):
     p_split = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
     out_split = model.apply(p_split, imgs, projs, DMIN, DMAX)
 
-    monkeypatch.delenv("FEATS_SPLIT")
+    monkeypatch.setenv("FEATS_SPLIT", "0")
     p_vmap = model.init(jax.random.PRNGKey(0), imgs, projs, DMIN, DMAX)
     assert (jax.tree.map(lambda x: x.shape, p_split)
             == jax.tree.map(lambda x: x.shape, p_vmap))
